@@ -1,0 +1,273 @@
+"""Reader/writer for the reference ``.fsim`` v3 fingerprint database format.
+
+Format (big-endian QDataStream Qt_5_2; see reference ``gpusim.cpp:173-253``
+for the reader and ``python/gpusim_createdb.py:135-143`` for the writer)::
+
+    int32   version            == 3
+    char*   dbkey              (writeString: uint32 len-incl-NUL + bytes + NUL)
+    int32   fp_bitcount        (1024 for RDKit Morgan; must be % 32 == 0)
+    int32   fp_count
+    int32   n_fp_chunks
+    n x QByteArray(qCompress(packed fingerprint bits, <=1 GiB uncompressed))
+    int32   n_smiles_chunks
+    n x QByteArray(qCompress(back-to-back writeString records))
+    int32   n_id_chunks
+    n x QByteArray(qCompress(back-to-back writeString records))
+
+The <=1 GiB chunking is the reference's multi-GPU shard unit
+(``gpusim_createdb.py:56-69``); the TPU rebuild re-shards to the device mesh
+at load time, so chunk boundaries only matter for file compatibility.
+
+The reference's ``gpusim_mergedb.py`` has a known defect: it writes the header
+*without* the dbkey (``gpusim_mergedb.py:65-67``) even though the v3 reader
+expects one (``gpusim.cpp:191-194``), producing unreadable files. Our
+:func:`merge_fsim` writes a correct v3 header.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from .qtstream import (
+    QtStreamError,
+    QtStreamReader,
+    QtStreamWriter,
+    pack_string_chunk,
+    parse_string_chunk,
+    qcompress,
+    quncompress,
+)
+
+DATABASE_VERSION = 3
+GIBIBYTE = 2**30
+DEFAULT_BITCOUNT = 1024
+
+
+@dataclass
+class FingerprintData:
+    """In-memory contents of one fingerprint database.
+
+    ``fingerprints`` is packed little-endian-bit-order data, one row per
+    compound, dtype ``uint8`` with shape ``(count, bitcount // 8)``. Bit ``i``
+    of a fingerprint is bit ``i % 8`` of byte ``i // 8`` — the layout RDKit's
+    ``BitVectToBinaryText`` emits and the layout the engine's packed-word
+    kernels consume (after a ``view(uint32)``).
+    """
+
+    dbkey: str = ""
+    bitcount: int = DEFAULT_BITCOUNT
+    fingerprints: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, DEFAULT_BITCOUNT // 8), np.uint8)
+    )
+    smiles: list[bytes] = field(default_factory=list)
+    ids: list[bytes] = field(default_factory=list)
+
+    @property
+    def count(self) -> int:
+        return int(self.fingerprints.shape[0])
+
+    def validate(self) -> None:
+        if self.bitcount % 32 != 0:
+            raise ValueError(f"bitcount {self.bitcount} not divisible by 32")
+        n, nbytes = self.fingerprints.shape
+        if nbytes != self.bitcount // 8:
+            raise ValueError(
+                f"fingerprint row width {nbytes} B != bitcount/8 = "
+                f"{self.bitcount // 8} B"
+            )
+        if len(self.smiles) != n or len(self.ids) != n:
+            raise ValueError(
+                f"row count mismatch: {n} fingerprints, {len(self.smiles)} "
+                f"smiles, {len(self.ids)} ids"
+            )
+
+    def packed_words(self) -> np.ndarray:
+        """Fingerprints as ``uint32[count, bitcount // 32]`` packed words."""
+        fp = np.ascontiguousarray(self.fingerprints)
+        return fp.view(np.uint32).reshape(self.count, self.bitcount // 32)
+
+
+def _read_chunk_list(reader: QtStreamReader) -> list[memoryview]:
+    n = reader.read_int32()
+    if n < 0:
+        raise QtStreamError(f"negative chunk count {n}")
+    chunks = []
+    for _ in range(n):
+        chunk = reader.read_bytearray_view()
+        if chunk is None:
+            raise QtStreamError("null QByteArray chunk")
+        chunks.append(chunk)
+    return chunks
+
+
+def read_fsim(path: str | os.PathLike, max_workers: Optional[int] = None) -> FingerprintData:
+    """Load a ``.fsim`` v3 file, decompressing chunks on a thread pool.
+
+    zlib releases the GIL, so the thread pool mirrors the reference's
+    ``QThreadPool`` parallel decompress (``gpusim.cpp:202-236``).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    reader = QtStreamReader(raw)
+    version = reader.read_int32()
+    if version != DATABASE_VERSION:
+        raise QtStreamError(
+            f"database version {version} incompatible (expected {DATABASE_VERSION})"
+        )
+    dbkey = reader.read_string() or b""
+    bitcount = reader.read_int32()
+    count = reader.read_int32()
+
+    fp_chunks = _read_chunk_list(reader)
+    smi_chunks = _read_chunk_list(reader)
+    id_chunks = _read_chunk_list(reader)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        fp_parts = list(pool.map(quncompress, fp_chunks))
+        smi_parts = list(pool.map(lambda c: parse_string_chunk(quncompress(c)), smi_chunks))
+        id_parts = list(pool.map(lambda c: parse_string_chunk(quncompress(c)), id_chunks))
+
+    fp_bytes_per_row = bitcount // 8
+    fp_raw = b"".join(fp_parts)
+    if len(fp_raw) != count * fp_bytes_per_row:
+        raise QtStreamError(
+            f"fingerprint payload is {len(fp_raw)} B, expected "
+            f"{count} x {fp_bytes_per_row} B"
+        )
+    fingerprints = np.frombuffer(fp_raw, dtype=np.uint8).reshape(count, fp_bytes_per_row)
+
+    smiles: list[bytes] = []
+    for p in smi_parts:
+        smiles.extend(p)
+    ids: list[bytes] = []
+    for p in id_parts:
+        ids.extend(p)
+
+    data = FingerprintData(
+        dbkey=dbkey.decode("utf-8"),
+        bitcount=bitcount,
+        fingerprints=fingerprints,
+        smiles=smiles,
+        ids=ids,
+    )
+    data.validate()
+    return data
+
+
+def _chunk_rows(total_rows: int, row_bytes: int, limit: int) -> list[tuple[int, int]]:
+    """Split ``total_rows`` into (start, stop) spans of <= ``limit`` bytes."""
+    if total_rows == 0:
+        return [(0, 0)]
+    rows_per_chunk = max(1, limit // max(1, row_bytes))
+    spans = []
+    start = 0
+    while start < total_rows:
+        stop = min(total_rows, start + rows_per_chunk)
+        spans.append((start, stop))
+        start = stop
+    return spans
+
+
+def _chunk_strings(strings: Sequence[bytes], limit: int) -> list[bytes]:
+    """Pack strings into writeString chunks, rolling at ~``limit`` bytes."""
+    chunks: list[bytes] = []
+    parts: list[bytes] = []
+    size = 0
+    for s in strings:
+        rec_size = len(s) + 5  # uint32 length + payload + NUL
+        if size >= limit and parts:
+            chunks.append(b"".join(parts))
+            parts, size = [], 0
+        parts.append(pack_string_chunk([s]))
+        size += rec_size
+    chunks.append(b"".join(parts))
+    return chunks
+
+
+def write_fsim(
+    path: str | os.PathLike,
+    data: FingerprintData,
+    chunk_limit: int = GIBIBYTE,
+    compress_level: int = -1,
+    max_workers: Optional[int] = None,
+) -> None:
+    """Write a ``.fsim`` v3 file byte-compatible with the reference reader."""
+    data.validate()
+    w = QtStreamWriter()
+    w.write_int32(DATABASE_VERSION)
+    w.write_string(data.dbkey.encode("utf-8"))
+    w.write_int32(data.bitcount)
+    w.write_int32(data.count)
+
+    fp = np.ascontiguousarray(data.fingerprints)
+    row_bytes = data.bitcount // 8
+    fp_chunks = [
+        fp[a:b].tobytes() for a, b in _chunk_rows(data.count, row_bytes, chunk_limit)
+    ]
+    smi_chunks = _chunk_strings(data.smiles, chunk_limit)
+    id_chunks = _chunk_strings(data.ids, chunk_limit)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        compressed = {
+            "fp": list(pool.map(lambda c: qcompress(c, compress_level), fp_chunks)),
+            "smi": list(pool.map(lambda c: qcompress(c, compress_level), smi_chunks)),
+            "id": list(pool.map(lambda c: qcompress(c, compress_level), id_chunks)),
+        }
+
+    for kind in ("fp", "smi", "id"):
+        w.write_int32(len(compressed[kind]))
+        for c in compressed[kind]:
+            w.write_bytearray(c)
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(w.getvalue())
+    os.replace(tmp, path)
+
+
+def merge_fsim(
+    inputs: Iterable[str | os.PathLike],
+    output: str | os.PathLike,
+    dbkey: Optional[str] = None,
+) -> FingerprintData:
+    """Merge many ``.fsim`` files into one (parallel-build support).
+
+    Unlike the reference merger this writes a *valid* v3 header including the
+    dbkey (reference bug at ``gpusim_mergedb.py:65-67``). The output dbkey is
+    ``dbkey`` if given, else the (required-identical) input dbkeys.
+    """
+    inputs = list(inputs)
+    if not inputs:
+        raise ValueError("no input files")
+    merged: Optional[FingerprintData] = None
+    fps: list[np.ndarray] = []
+    for p in inputs:
+        d = read_fsim(p)
+        if merged is None:
+            merged = FingerprintData(
+                dbkey=d.dbkey, bitcount=d.bitcount, smiles=[], ids=[]
+            )
+        else:
+            if d.bitcount != merged.bitcount:
+                raise ValueError(
+                    "can't mix databases with different fingerprint bitcounts"
+                )
+            if dbkey is None and d.dbkey != merged.dbkey:
+                raise ValueError(
+                    f"dbkey mismatch ({d.dbkey!r} != {merged.dbkey!r}); pass an "
+                    "explicit dbkey to override"
+                )
+        fps.append(d.fingerprints)
+        merged.smiles.extend(d.smiles)
+        merged.ids.extend(d.ids)
+    assert merged is not None
+    if dbkey is not None:
+        merged.dbkey = dbkey
+    merged.fingerprints = np.concatenate(fps, axis=0)
+    write_fsim(output, merged)
+    return merged
