@@ -8,12 +8,33 @@ exercises real multi-device code paths. Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the session environment pins JAX_PLATFORMS to the real
+# TPU tunnel; tests must run hermetically on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_enable_fast_math" not in _flags:
+    # IEEE-exact f32 division so similarity scores (small-int ratios) are
+    # correctly rounded, matching the reference's CUDA float division.
+    _flags += " --xla_cpu_enable_fast_math=false"
+os.environ["XLA_FLAGS"] = _flags.strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers an "axon" PJRT plugin that points
+# at the real TPU tunnel and force-overrides jax_platforms to "axon,cpu",
+# ignoring the env var set above. Pin the config back to CPU *after* importing
+# jax (backends are not initialized yet), or the whole suite silently runs on
+# (and serializes over) the remote TPU.
+jax.config.update("jax_platforms", "cpu")
+
+# Cache compilations on disk so repeated suite runs skip XLA compile time.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
