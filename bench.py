@@ -1,0 +1,128 @@
+"""Benchmark: brute-force Tanimoto top-k scan rate on the local chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The headline metric is fingerprints scanned per second per chip for a
+single top-128 query over a synthetic 1024-bit library resident in HBM —
+directly comparable to the reference's implied rate of ~1.25e9
+fingerprints/s per V100 (1e9 compounds / 0.2 s / 4 GPUs, reference
+README.md:13; see BASELINE.md).
+
+The library is generated directly on device (random packed words) so the
+benchmark measures scan+top-k, not host upload. Row popcounts of random
+uint32 words average 512 bits — statistically equivalent to real Morgan
+fingerprints for bandwidth/compute purposes (scores are still exact
+Tanimoto on the random data).
+"""
+
+import json
+import os
+import statistics
+import time
+
+REFERENCE_FPS_PER_GPU = 1.25e9  # BASELINE.md derived figure
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpusimilarity_tpu.parallel.mesh import make_mesh
+    from gpusimilarity_tpu.parallel.sharded import (
+        build_search_fn,
+        build_store_from_device,
+    )
+
+    n_rows = int(os.environ.get("TPUSIM_BENCH_ROWS", 64 * 1024 * 1024))
+    k = int(os.environ.get("TPUSIM_BENCH_K", 128))
+    batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
+    repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
+    w = 32  # 1024-bit fingerprints
+
+    devices = jax.devices()
+    mesh = make_mesh(devices)
+    n_shards = len(devices)
+    per_shard = -(-n_rows // n_shards)
+    chunk = min(1 << 20, ((per_shard + 127) // 128) * 128)
+    per_shard = -(-per_shard // chunk) * chunk
+    n_padded = per_shard * n_shards
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    words_sharding = NamedSharding(mesh, P(None, "shards"))
+    pops_sharding = NamedSharding(mesh, P("shards"))
+
+    @jax.jit
+    def make_library(key):
+        words = jax.random.bits(key, (w, n_padded), dtype=jnp.uint32)
+        words = jax.lax.with_sharding_constraint(words, words_sharding)
+        pops = jnp.sum(
+            jax.lax.population_count(words).astype(jnp.int32), axis=0
+        )
+        pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
+        return words, pops
+
+    t0 = time.monotonic()
+    words, pops = make_library(jax.random.key(0))
+    words.block_until_ready()
+    gen_s = time.monotonic() - t0
+
+    store = build_store_from_device(
+        words, pops, n_valid=n_rows, mesh=mesh, chunk_cols=chunk
+    )
+    search = build_search_fn(store, k=k, similarity="tanimoto", batch=batch)
+
+    rng = np.random.default_rng(1)
+    queries = rng.integers(0, 2**32, (batch, w), dtype=np.uint32)
+    qpops = np.array(
+        [bin(int(x)).count("1") for x in queries.reshape(-1)], dtype=np.int64
+    ).reshape(batch, w).sum(axis=1).astype(np.int32)
+    cutoffs = np.zeros(batch, np.float32)
+
+    args = (
+        jnp.asarray(queries),
+        jnp.asarray(qpops),
+        jnp.asarray(cutoffs),
+        jnp.float32(1.0),
+        jnp.float32(1.0),
+    )
+
+    # warmup (compile + first run)
+    t0 = time.monotonic()
+    vals, idx, approx = search(*args)
+    vals.block_until_ready()
+    compile_s = time.monotonic() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        vals, idx, approx = search(*args)
+        vals.block_until_ready()
+        times.append(time.monotonic() - t0)
+
+    p50 = statistics.median(times)
+    fps_per_chip = n_rows * batch / p50 / n_shards
+    print(
+        json.dumps(
+            {
+                "metric": "fingerprints_scanned_per_sec_per_chip",
+                "value": round(fps_per_chip, 1),
+                "unit": "fp/s/chip",
+                "vs_baseline": round(fps_per_chip / REFERENCE_FPS_PER_GPU, 4),
+                "p50_latency_ms": round(p50 * 1e3, 3),
+                "rows": n_rows,
+                "batch": batch,
+                "k": k,
+                "chips": n_shards,
+                "min_latency_ms": round(min(times) * 1e3, 3),
+                "compile_plus_first_run_s": round(compile_s, 2),
+                "library_gen_s": round(gen_s, 2),
+                "platform": devices[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

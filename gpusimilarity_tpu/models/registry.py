@@ -1,0 +1,195 @@
+"""DatabaseRegistry — multi-database loading, search dispatch, result merge.
+
+The service-layer equivalent of the reference's ``GPUSimServer`` registry and
+``searchDatabases`` (``gpusim.cpp:87-166, 306-374``): databases are keyed by
+file basename, a global fold factor is derived from total size vs device
+memory (with an optional user bitcount override), and multi-database searches
+merge score-sorted results with SMILES deduplication, joining the IDs of
+duplicate compounds with ``";:;"``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..ops import fold as fold_ops
+from ..ops.scan import TANIMOTO
+from ..parallel.mesh import auto_fold_factor, make_mesh
+from ..utils.fsim import FingerprintData, read_fsim
+from .fingerprint_db import FingerprintDB
+from .results import SearchResult
+
+log = logging.getLogger("tpusimilarity")
+
+ID_JOIN = ";:;"  # reference's duplicate-compound ID separator (gpusim.cpp:354)
+
+
+class DatabaseRegistry:
+    """A set of named FingerprintDBs sharing one mesh and fold factor."""
+
+    def __init__(self, mesh=None):
+        self._mesh = mesh if mesh is not None else make_mesh()
+        self._dbs: dict[str, FingerprintDB] = {}
+        self.search_count = 0
+        self.total_search_seconds = 0.0
+
+    # ---------------------------------------------------------------- loading
+
+    @classmethod
+    def from_fsim_files(
+        cls,
+        paths: Sequence[str],
+        mesh=None,
+        device_bitcount: int = 0,
+        fold_factor: Optional[int] = None,
+        cpu_rescore: bool = True,
+    ) -> "DatabaseRegistry":
+        """Load ``.fsim`` files; database names are file basenames
+        (reference ``gpusim.cpp:114-116``).
+
+        ``device_bitcount`` mirrors ``--gpu_bitcount``: an upper bound on the
+        on-device fingerprint width. It errors if the data can't fit at that
+        width's implied fold (reference ``gpusim.cpp:144-151``).
+        """
+        reg = cls(mesh=mesh)
+        datas: list[tuple[str, FingerprintData]] = []
+        for p in paths:
+            name = os.path.basename(str(p)).rsplit(".fsim", 1)[0]
+            t0 = time.monotonic()
+            data = read_fsim(p)
+            log.info(
+                "loaded %s: %d compounds, %d bits, dbkey=%r (%.2fs)",
+                name, data.count, data.bitcount, data.dbkey,
+                time.monotonic() - t0,
+            )
+            datas.append((name, data))
+
+        fold = fold_factor if fold_factor is not None else cls._global_fold(
+            datas, device_bitcount
+        )
+        for name, data in datas:
+            t0 = time.monotonic()
+            reg.add(name, data, fold_factor=fold)
+            log.info("uploaded %s to device mesh (%.2fs)", name, time.monotonic() - t0)
+        return reg
+
+    @staticmethod
+    def _global_fold(
+        datas: Sequence[tuple[str, FingerprintData]], device_bitcount: int
+    ) -> int:
+        """One fold factor for all databases, from total bytes vs free device
+        memory (reference ``gpusim.cpp:119-151``)."""
+        total_bytes = sum(d.fingerprints.nbytes for _, d in datas)
+        fold = auto_fold_factor(total_bytes)
+        if device_bitcount:
+            if not datas:
+                return 1
+            bitcount = datas[0][1].bitcount
+            requested_fold = max(1, bitcount // device_bitcount)
+            if requested_fold < fold:
+                raise MemoryError(
+                    f"device_bitcount {device_bitcount} needs fold "
+                    f"{requested_fold}, but the data requires at least {fold} "
+                    "to fit in device memory"
+                )
+            fold = requested_fold
+        if fold > 1:
+            log.info("folding fingerprints by %d to fit device memory", fold)
+        return fold
+
+    def add(self, name: str, data: FingerprintData, fold_factor: int | str = 1) -> None:
+        self._dbs[name] = FingerprintDB(data, mesh=self._mesh, fold_factor=fold_factor)
+
+    # ----------------------------------------------------------------- access
+
+    def names(self) -> list[str]:
+        return sorted(self._dbs)
+
+    def get(self, name: str) -> FingerprintDB:
+        return self._dbs[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._dbs
+
+    def stats(self) -> dict:
+        return {
+            "databases": {
+                name: {
+                    "count": db.count,
+                    "bitcount": db.bitcount,
+                    "device_bitcount": db.device_bitcount,
+                    "fold_factor": db.fold_factor,
+                    "shards": db._store.n_shards,
+                    "device_bytes": db._store.nbytes,
+                }
+                for name, db in self._dbs.items()
+            },
+            "searches": self.search_count,
+            "total_search_seconds": round(self.total_search_seconds, 6),
+        }
+
+    # ----------------------------------------------------------------- search
+
+    def search_databases(
+        self,
+        dbnames: Sequence[str],
+        dbkeys: Sequence[str],
+        query: np.ndarray,
+        k: int = 20,
+        cutoff: float = 0.0,
+        similarity: str = TANIMOTO,
+        alpha: float = 1.0,
+        beta: float = 1.0,
+    ) -> SearchResult:
+        """Search several databases and merge (reference ``searchDatabases``,
+        ``gpusim.cpp:306-374``): sort all results descending by score, drop
+        duplicate SMILES joining their IDs with ``";:;"``, truncate to k, and
+        sum approximate counts."""
+        t0 = time.monotonic()
+        per_db: list[SearchResult] = []
+        for name, key in zip(dbnames, dbkeys):
+            if name not in self._dbs:
+                raise KeyError(f"unknown database {name!r}")
+            per_db.append(
+                self._dbs[name].search(
+                    query, k=k, cutoff=cutoff, dbkey=key,
+                    similarity=similarity, alpha=alpha, beta=beta,
+                )
+            )
+        merged = merge_results(per_db, k)
+        self.search_count += 1
+        elapsed = time.monotonic() - t0
+        self.total_search_seconds += elapsed
+        log.info(
+            "search over %s: %d results, approx %d, %.1f ms",
+            list(dbnames), len(merged), merged.approximate_count, elapsed * 1e3,
+        )
+        return merged
+
+
+def merge_results(results: Sequence[SearchResult], k: int) -> SearchResult:
+    """Score-sorted cross-database merge with SMILES dedup + ID joining."""
+    rows = []
+    for db_order, r in enumerate(results):
+        for smi, cid, score in zip(r.smiles, r.ids, r.scores):
+            rows.append((-score, db_order, cid, smi))
+    rows.sort()
+
+    seen: dict[str, int] = {}
+    out = SearchResult(approximate_count=sum(r.approximate_count for r in results))
+    for neg_score, _, cid, smi in rows:
+        if smi in seen:
+            out.ids[seen[smi]] += ID_JOIN + cid
+            continue
+        if len(out.scores) >= k:
+            continue
+        seen[smi] = len(out.scores)
+        out.smiles.append(smi)
+        out.ids.append(cid)
+        out.scores.append(-neg_score)
+    return out

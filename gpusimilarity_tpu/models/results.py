@@ -18,6 +18,7 @@ class SearchResult:
     ids: list[str] = field(default_factory=list)
     scores: list[float] = field(default_factory=list)
     approximate_count: int = 0
+    indices: list[int] | None = None  # global row indices, when requested
 
     def __len__(self) -> int:
         return len(self.scores)

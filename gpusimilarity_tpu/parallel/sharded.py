@@ -1,0 +1,282 @@
+"""Mesh-sharded fingerprint storage and the SPMD scan+top-k search.
+
+This layer replaces the reference's entire multi-GPU machinery — ≤1 GB storage
+blocks placed round-robin (``FingerprintDB::copyToGPU``,
+``fingerprintdb_cuda.cu:168-195``), one host thread per block
+(``QtConcurrent::run`` fan-out at ``:356-365``), and the mutex-guarded result
+merge (``:333-338``) — with a single SPMD program: the packed fingerprint
+matrix is laid out column-sharded over a 1-D mesh, every shard scans its
+columns and selects a local top-k, candidates are merged with an
+``all_gather`` over ICI, and cutoff-survivor counts combine with a ``psum``.
+
+Data layout: fingerprints are stored **planar** — ``uint32[W, N]`` (word-plane
+major) rather than row-major ``[N, W]`` — so the scan's element-wise
+AND+popcount runs across the 128-lane axis with full utilization and the
+reduction over the W=32 word planes is a cheap cross-sublane accumulation.
+Within a shard the scan runs chunk-by-chunk under ``lax.map`` with a running
+top-k, so full per-query score vectors are never materialized in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.scan import popcount_rows_np, similarity_from_counts
+from .mesh import SHARD_AXIS, make_mesh
+
+try:  # jax >= 0.6 exports shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# Columns per lax.map step: 32 word-planes x 64Ki cols x 4 B = 8 MiB of
+# fingerprint data per chunk; per-query score slab B x 64Ki x 4 B stays small.
+DEFAULT_CHUNK_COLS = 65536
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@dataclass(frozen=True)
+class ShardedStore:
+    """Device-resident packed fingerprints, column-sharded over the mesh."""
+
+    mesh: jax.sharding.Mesh
+    axis: str
+    words: jax.Array  # uint32[W, n_padded], sharded P(None, axis)
+    popcounts: jax.Array  # int32[n_padded], sharded P(axis)
+    n_valid: int  # real row count; padded tail columns are masked out
+    chunk_cols: int  # per-shard lax.map chunk width (divides shard width)
+
+    @property
+    def n_padded(self) -> int:
+        return self.words.shape[1]
+
+    @property
+    def word_count(self) -> int:
+        return self.words.shape[0]
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def nbytes(self) -> int:
+        return self.words.size * 4
+
+
+def build_store(
+    packed_rows: np.ndarray,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = DEFAULT_CHUNK_COLS,
+) -> ShardedStore:
+    """Upload ``uint32[N, W]`` packed rows as a planar sharded store.
+
+    Rows are padded at the tail so every shard holds the same number of
+    columns and that number divides the chunk width; padded columns score
+    -inf and are never selected. Original row index == device column index.
+    """
+    n, w = packed_rows.shape
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+
+    per_shard = -(-max(n, 1) // n_shards)
+    chunk = min(chunk_cols, _round_up(per_shard, 128))
+    per_shard = _round_up(per_shard, chunk)
+    n_padded = per_shard * n_shards
+
+    planar = np.zeros((w, n_padded), dtype=np.uint32)
+    planar[:, :n] = packed_rows.T
+    pops = np.zeros(n_padded, dtype=np.int32)
+    pops[:n] = popcount_rows_np(packed_rows)
+
+    words_sharding = NamedSharding(mesh, P(None, axis))
+    pops_sharding = NamedSharding(mesh, P(axis))
+    return ShardedStore(
+        mesh=mesh,
+        axis=axis,
+        words=jax.device_put(planar, words_sharding),
+        popcounts=jax.device_put(pops, pops_sharding),
+        n_valid=n,
+        chunk_cols=chunk,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_store_from_device(
+    words_planar: jax.Array,
+    popcounts: jax.Array,
+    n_valid: int,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = DEFAULT_CHUNK_COLS,
+) -> ShardedStore:
+    """Wrap already-device-resident planar data (e.g. synthetic benchmark
+    libraries generated in HBM) as a ShardedStore. ``words_planar`` is
+    ``uint32[W, n_padded]`` with every shard width divisible by the chunk."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+    n_padded = words_planar.shape[1]
+    per_shard = n_padded // n_shards
+    if per_shard * n_shards != n_padded:
+        raise ValueError("padded width must divide evenly across shards")
+    chunk = min(chunk_cols, per_shard)
+    if per_shard % chunk != 0:
+        raise ValueError(f"shard width {per_shard} not divisible by chunk {chunk}")
+    return ShardedStore(
+        mesh=mesh,
+        axis=axis,
+        words=words_planar,
+        popcounts=popcounts,
+        n_valid=n_valid,
+        chunk_cols=chunk,
+    )
+
+
+def _score_columns(cols, col_pops, queries, query_pops, similarity, alpha, beta):
+    """Score a planar column block: ``(W, C) x (B, W) -> f32 (B, C)``."""
+    inter = jnp.bitwise_and(cols[None, :, :], queries[:, :, None])  # (B, W, C)
+    common = jnp.sum(
+        jax.lax.population_count(inter).astype(jnp.int32), axis=1
+    )  # (B, C)
+    return similarity_from_counts(
+        common, col_pops, query_pops, similarity, alpha, beta
+    )
+
+
+def _local_scan_topk(
+    db,  # uint32 (W, Ns)
+    pops,  # int32 (Ns,)
+    queries,  # uint32 (B, W)
+    query_pops,  # int32 (B,)
+    cutoff,  # f32 (B,) per-query similarity cutoffs
+    alpha,
+    beta,
+    *,
+    k: int,
+    chunk: int,
+    n_valid: int,
+    similarity: str,
+    axis: str,
+):
+    """Per-shard scan + running top-k; returns global-index candidates."""
+    w, n_shard = db.shape
+    b = queries.shape[0]
+    shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard
+    n_chunks = n_shard // chunk
+    kc = min(k, chunk)
+
+    def masked_scores(cols, col_pops, base):
+        scores = _score_columns(
+            cols, col_pops, queries, query_pops, similarity, alpha, beta
+        )
+        local_idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = (shard_offset + local_idx) < n_valid
+        return jnp.where(valid, scores, NEG_INF)
+
+    if n_chunks == 1:
+        scores = masked_scores(db, pops, 0)
+        vals, idx = jax.lax.top_k(scores, kc)
+        idx = idx.astype(jnp.int32)
+        cnt = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+    else:
+        def chunk_fn(ci):
+            base = ci * chunk
+            cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
+            col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
+            scores = masked_scores(cols, col_pops, base)
+            v, i = jax.lax.top_k(scores, kc)
+            c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+            return v, i.astype(jnp.int32) + base, c
+
+        vs, idxs, cnts = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+        flat_vals = jnp.moveaxis(vs, 0, 1).reshape(b, n_chunks * kc)
+        flat_idx = jnp.moveaxis(idxs, 0, 1).reshape(b, n_chunks * kc)
+        take = min(k, n_chunks * kc)
+        vals, pos = jax.lax.top_k(flat_vals, take)
+        idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
+        cnt = cnts.sum(axis=0)
+
+    if vals.shape[-1] < k:  # tiny shard: pad candidates so merge shapes agree
+        pad = k - vals.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+
+    return vals, idx + shard_offset, cnt
+
+
+def build_search_fn(
+    store: ShardedStore,
+    k: int,
+    similarity: str,
+    batch: int,
+) -> Callable:
+    """Compile an SPMD search: ``(queries, qpops, cutoffs, alpha, beta) ->
+    (values f32[B,k], indices i32[B,k], approx i32[B])``.
+
+    ``cutoffs`` is a per-query ``f32[B]`` vector — it only affects the
+    approximate-match counts; the top-k itself is computed on raw scores and
+    the caller drops sub-cutoff entries. Indices are global row indices into
+    the original (unpadded) matrix; entries with value -inf (padding /
+    k > matches) must be dropped by the caller.
+    """
+    mesh, axis = store.mesh, store.axis
+    n_shard = store.n_padded // store.n_shards
+    chunk = min(store.chunk_cols, n_shard)
+    k_local = min(k, n_shard)
+
+    local = functools.partial(
+        _local_scan_topk,
+        k=k_local,
+        chunk=chunk,
+        n_valid=store.n_valid,
+        similarity=similarity,
+        axis=axis,
+    )
+
+    def spmd(db, pops, queries, query_pops, cutoff, alpha, beta):
+        vals, idx, cnt = local(db, pops, queries, query_pops, cutoff, alpha, beta)
+        all_vals = jax.lax.all_gather(vals, axis)  # (S, B, k_local)
+        all_idx = jax.lax.all_gather(idx, axis)
+        b = queries.shape[0]
+        flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, -1)
+        flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, -1)
+        take = min(k, flat_vals.shape[-1])
+        top_vals, pos = jax.lax.top_k(flat_vals, take)
+        top_idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
+        approx = jax.lax.psum(cnt, axis)
+        return top_vals, top_idx, approx
+
+    mapped = _shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # outputs are replicated by construction (all_gather + identical
+        # reduction on every shard); the static checker can't see that
+        check_vma=False,
+    )
+
+    jitted = jax.jit(mapped)
+
+    def search(queries, query_pops, cutoff, alpha, beta):
+        # store arrays travel as jit arguments (not closure constants) so the
+        # executable never embeds the library and re-dispatch is cheap
+        return jitted(
+            store.words, store.popcounts, queries, query_pops, cutoff, alpha, beta
+        )
+
+    # seal shapes: callers pass exactly (batch, W) queries
+    del batch
+    return search

@@ -1,0 +1,256 @@
+"""Engine tests: FingerprintDB + DatabaseRegistry.
+
+Mirrors the reference's integration-test strategy (boot a real engine on
+fixture data, no mocks — ``test_gpusim.cpp``), including its golden values,
+but runs against both the reference's own fixture and synthetic data on a
+virtual 8-device mesh.
+"""
+
+import numpy as np
+import pytest
+
+from gpusimilarity_tpu.models import (
+    DatabaseRegistry,
+    FingerprintDB,
+    merge_results,
+    SearchResult,
+)
+from gpusimilarity_tpu.ops.scan import scores_np
+from gpusimilarity_tpu.utils.fsim import read_fsim, write_fsim
+
+from conftest import random_fingerprint_data
+
+
+@pytest.fixture(scope="module")
+def ref_db():
+    import os
+
+    if not os.path.exists("/root/reference/test/small.fsim"):
+        pytest.skip("reference fixture not available")
+    data = read_fsim("/root/reference/test/small.fsim")
+    return FingerprintDB(data, fold_factor=1)
+
+
+def oracle_topk(data, query, k, cutoff=0.0):
+    """Independent numpy implementation of cutoff + top-k semantics."""
+    scores = scores_np(data.packed_words(), query[None])[0]
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    if cutoff > 0:
+        order = [i for i in order if scores[i] >= cutoff]
+    order = list(order)[:k]
+    return [data.ids[i] for i in order], [float(scores[i]) for i in order]
+
+
+class TestSearchParity:
+    """Device search == numpy oracle (the reference's CompareGPUtoCPU)."""
+
+    def test_matches_oracle_on_reference_fixture(self, ref_db):
+        data = read_fsim("/root/reference/test/small.fsim")
+        for qi in (0, 3, 17):
+            query = ref_db.get_fingerprint(qi)
+            for k in (10, 15):
+                r = ref_db.search(query, k=k, dbkey="pass")
+                ids, scores = oracle_topk(data, query, k)
+                assert [i.encode() for i in r.ids] == ids
+                np.testing.assert_allclose(r.scores, scores, rtol=1e-6)
+
+    def test_matches_oracle_on_synthetic(self, rng):
+        data = random_fingerprint_data(rng, count=500)
+        db = FingerprintDB(data)
+        words = data.packed_words()
+        for qi in (0, 123, 499):
+            r = db.search(words[qi], k=25)
+            ids, scores = oracle_topk(data, words[qi], 25)
+            assert [i.encode() for i in r.ids] == ids
+
+    def test_self_match_scores_exactly_one(self, ref_db):
+        r = ref_db.search(ref_db.get_fingerprint(7), k=1, dbkey="pass")
+        assert r.scores[0] == 1.0
+        assert r.ids[0] == ref_db.get_id(7)
+
+
+class TestSimilarityCutoff:
+    """The reference's pinned golden table (test_gpusim.cpp:101-128)."""
+
+    @pytest.mark.parametrize(
+        "cutoff,expect_n,expect_approx",
+        [(0.0, 10, 100), (0.1, 10, 86), (0.3, 3, 3), (0.4, 1, 1)],
+    )
+    def test_golden_cutoff_counts(self, ref_db, cutoff, expect_n, expect_approx):
+        query = ref_db.get_fingerprint(0)
+        r = ref_db.search(query, k=10, cutoff=cutoff, dbkey="pass")
+        assert len(r) == expect_n
+        assert r.approximate_count == expect_approx
+
+    def test_scores_all_above_cutoff(self, ref_db):
+        r = ref_db.search(ref_db.get_fingerprint(0), k=10, cutoff=0.3, dbkey="pass")
+        assert all(s >= 0.3 for s in r.scores)
+
+
+class TestDbKey:
+    def test_wrong_key_returns_empty(self, ref_db):
+        r = ref_db.search(ref_db.get_fingerprint(0), k=10, dbkey="wrong")
+        assert len(r) == 0 and r.approximate_count == 0
+
+    def test_missing_key_returns_empty_for_keyed_db(self, ref_db):
+        r = ref_db.search(ref_db.get_fingerprint(0), k=10)
+        assert len(r) == 0
+
+
+class TestFolding:
+    @pytest.mark.parametrize("fold", [2, 4, 8])
+    def test_folded_search_recovers_exact_topk(self, ref_db, fold):
+        data = read_fsim("/root/reference/test/small.fsim")
+        folded_db = FingerprintDB(data, fold_factor=fold)
+        assert folded_db.device_bitcount == 1024 // fold
+        query = ref_db.get_fingerprint(0)
+        exact = ref_db.search(query, k=10, dbkey="pass")
+        approx = folded_db.search(query, k=10, dbkey="pass")
+        assert approx.ids == exact.ids
+        np.testing.assert_allclose(approx.scores, exact.scores, rtol=1e-6)
+
+    def test_folded_cutoff_refilter(self, ref_db):
+        data = read_fsim("/root/reference/test/small.fsim")
+        folded_db = FingerprintDB(data, fold_factor=4)
+        query = ref_db.get_fingerprint(0)
+        r = folded_db.search(query, k=10, cutoff=0.3, dbkey="pass")
+        # exact rescored scores must respect the cutoff
+        assert len(r) == 3
+        assert all(s >= 0.3 for s in r.scores)
+
+    def test_fold_factor_rounds_to_divisor(self, rng):
+        data = random_fingerprint_data(rng, count=10)
+        db = FingerprintDB(data, fold_factor=3)  # 3 -> 4 (divides 32 words)
+        assert db.fold_factor == 4
+
+
+class TestBatch:
+    def test_batched_matches_single(self, rng):
+        data = random_fingerprint_data(rng, count=300)
+        db = FingerprintDB(data)
+        words = data.packed_words()
+        queries = words[[5, 50, 150, 299]]
+        batch = db.search_batch(queries, k=12)
+        for q, r in zip(queries, batch):
+            single = db.search(q, k=12)
+            assert r.ids == single.ids
+            assert r.scores == single.scores
+
+    def test_per_query_cutoffs_and_ks(self, rng):
+        data = random_fingerprint_data(rng, count=200)
+        db = FingerprintDB(data)
+        words = data.packed_words()
+        queries = words[[0, 1]]
+        batch = db.search_batch(queries, k=[5, 20], cutoff=[0.9, 0.0])
+        assert len(batch[0]) <= 5
+        assert all(s >= 0.9 for s in batch[0].scores)
+        assert len(batch[1]) == 20
+        single = db.search(words[1], k=20)
+        assert batch[1].ids == single.ids
+
+    def test_batch_bucket_padding_no_crosstalk(self, rng):
+        data = random_fingerprint_data(rng, count=100)
+        db = FingerprintDB(data)
+        words = data.packed_words()
+        # 3 queries -> bucket 4; the padded zero query must not leak results
+        batch = db.search_batch(words[[1, 2, 3]], k=5)
+        assert len(batch) == 3
+        for qi, r in zip((1, 2, 3), batch):
+            assert r.ids[0] == data.ids[qi].decode()
+
+
+class TestEdgeCases:
+    def test_k_larger_than_db(self, rng):
+        data = random_fingerprint_data(rng, count=7)
+        db = FingerprintDB(data)
+        r = db.search(data.packed_words()[0], k=100)
+        assert len(r) == 7
+
+    def test_single_row_db(self, rng):
+        data = random_fingerprint_data(rng, count=1)
+        db = FingerprintDB(data)
+        r = db.search(data.packed_words()[0], k=10)
+        assert len(r) == 1 and r.scores[0] == 1.0
+
+    def test_tversky_search(self, rng):
+        data = random_fingerprint_data(rng, count=64)
+        db = FingerprintDB(data)
+        r = db.search(
+            data.packed_words()[3], k=5, similarity="tversky", alpha=0.5, beta=0.5
+        )
+        assert r.scores[0] == 1.0
+        oracle = scores_np(
+            data.packed_words(), data.packed_words()[3][None],
+            similarity="tversky", alpha=0.5, beta=0.5,
+        )[0]
+        np.testing.assert_allclose(
+            r.scores, np.sort(oracle)[::-1][:5], rtol=1e-6
+        )
+
+
+class TestRegistry:
+    def test_multi_database_dedup(self, tmp_path):
+        """Reference TestSearchMultiple: two copies of the same db; the
+        duplicate compound's IDs join with ';:;' (test_gpusim.cpp:71-99)."""
+        import os
+
+        if not os.path.exists("/root/reference/test/small.fsim"):
+            pytest.skip("reference fixture not available")
+        data = read_fsim("/root/reference/test/small.fsim")
+        write_fsim(tmp_path / "small.fsim", data)
+        write_fsim(tmp_path / "small_copy.fsim", data)
+        reg = DatabaseRegistry.from_fsim_files(
+            [str(tmp_path / "small.fsim"), str(tmp_path / "small_copy.fsim")]
+        )
+        assert reg.names() == ["small", "small_copy"]
+        query = reg.get("small").get_fingerprint(3)
+        merged = reg.search_databases(
+            ["small", "small_copy"], ["pass", "pass"], query, k=10
+        )
+        assert len(merged) == 10
+        top_id = reg.get("small").get_id(3)
+        assert merged.ids[0] == f"{top_id};:;{top_id}"
+        assert merged.approximate_count == 200
+
+    def test_registry_unknown_db(self, rng):
+        reg = DatabaseRegistry()
+        with pytest.raises(KeyError):
+            reg.search_databases(["nope"], [""], np.zeros(32, np.uint32))
+
+    def test_stats(self, rng):
+        reg = DatabaseRegistry()
+        reg.add("syn", random_fingerprint_data(rng, count=50))
+        s = reg.stats()
+        assert s["databases"]["syn"]["count"] == 50
+        assert s["databases"]["syn"]["fold_factor"] == 1
+
+
+class TestMergeResults:
+    def test_merge_orders_and_dedups(self):
+        a = SearchResult(
+            smiles=["C", "CC"], ids=["A1", "A2"], scores=[0.9, 0.5],
+            approximate_count=2,
+        )
+        b = SearchResult(
+            smiles=["CC", "CCC"], ids=["B1", "B2"], scores=[0.5, 0.7],
+            approximate_count=2,
+        )
+        m = merge_results([a, b], k=10)
+        assert m.smiles == ["C", "CCC", "CC"]
+        assert m.ids == ["A1", "B2", "A2;:;B1"]
+        assert m.scores == [0.9, 0.7, 0.5]
+        assert m.approximate_count == 4
+
+    def test_merge_truncates(self):
+        rs = [
+            SearchResult(smiles=[f"S{i}"], ids=[f"I{i}"], scores=[i / 10])
+            for i in range(8)
+        ]
+        m = merge_results(rs, k=3)
+        assert m.scores == [0.7, 0.6, 0.5]
+
+    def test_duplicate_beyond_k_still_joins(self):
+        a = SearchResult(smiles=["C", "N"], ids=["A", "X"], scores=[0.9, 0.8])
+        b = SearchResult(smiles=["C"], ids=["B"], scores=[0.3])
+        m = merge_results([a, b], k=2)
+        assert m.ids[0] == "A;:;B"
