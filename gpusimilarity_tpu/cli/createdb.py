@@ -1,0 +1,131 @@
+"""Build a ``.fsim`` fingerprint database from a SMILES library.
+
+Equivalent of the reference's ``gpusim_createdb.py``: streams a ``.smi`` /
+``.smi.gz`` file of ``SMILES<whitespace>ID`` lines, fingerprints each row
+(canonicalizing the SMILES and dropping unparseable rows with a warning), and
+writes a v3 ``.fsim``. Parallelism uses :mod:`multiprocessing` instead of the
+reference's optional ipyparallel cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import multiprocessing
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..utils.fingerprints import BITCOUNT, FingerprintError, smiles_to_fingerprint_bin
+from ..utils.fsim import FingerprintData, write_fsim
+
+READ_BATCH_BYTES = 10_000_000
+
+
+def _process_line(line: bytes, trust_smiles: bool = False):
+    parts = line.split()
+    if len(parts) < 2:
+        if line.strip():
+            print(f"Skipping malformed line: {line!r}", file=sys.stderr)
+        return None
+    smiles, cid = parts[0].decode(), parts[1]
+    try:
+        fp, canon = smiles_to_fingerprint_bin(smiles, trust_smiles=trust_smiles)
+    except (FingerprintError, ValueError) as e:
+        print(f"Error processing {smiles!r}: {e}", file=sys.stderr)
+        return None
+    return fp, canon, cid
+
+
+def _process_line_trusted(line: bytes):
+    return _process_line(line, trust_smiles=True)
+
+
+def build_database(
+    inputfile: str,
+    dbkey: str = "",
+    trust_smiles: bool = False,
+    workers: int = 0,
+) -> FingerprintData:
+    opener = gzip.open if str(inputfile).endswith(".gz") else open
+    fps: list[bytes] = []
+    smiles: list[bytes] = []
+    ids: list[bytes] = []
+    worker_fn = _process_line_trusted if trust_smiles else _process_line
+
+    pool = None
+    if workers != 1:
+        n = workers if workers > 0 else (os.cpu_count() or 1)
+        if n > 1:
+            pool = multiprocessing.Pool(n)
+    mapper = pool.map if pool else map
+
+    t0 = time.monotonic()
+    with opener(inputfile, "rb") as fh:
+        lines = fh.readlines(READ_BATCH_BYTES)
+        while lines:
+            for row in mapper(worker_fn, lines):
+                if row is None:
+                    continue
+                fp, canon, cid = row
+                fps.append(fp)
+                smiles.append(canon)
+                ids.append(cid)
+            print(f"Processed {len(ids)} rows", file=sys.stderr)
+            lines = fh.readlines(READ_BATCH_BYTES)
+    if pool:
+        pool.close()
+        pool.join()
+    print(
+        f"Fingerprinted {len(ids)} compounds in {time.monotonic() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    if fps:
+        matrix = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(
+            len(fps), BITCOUNT // 8
+        )
+    else:
+        matrix = np.zeros((0, BITCOUNT // 8), np.uint8)
+    return FingerprintData(
+        dbkey=dbkey, bitcount=BITCOUNT, fingerprints=matrix, smiles=smiles, ids=ids
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Create a tpusimilarity binary FingerprintDB (.fsim v3)"
+    )
+    parser.add_argument("inputfile", help=".smi or .smi.gz: SMILES<ws>ID lines")
+    parser.add_argument("outputfile", help="output .fsim path")
+    parser.add_argument("--dbkey", default="", help="database key (default empty)")
+    parser.add_argument(
+        "--trustSmiles", action="store_true", default=False,
+        help="skip full sanitization of input SMILES",
+    )
+    parser.add_argument(
+        "--singleThreaded", action="store_true", default=False,
+        help="disable the multiprocessing pool",
+    )
+    parser.add_argument(
+        "--workers", type=int, default=0,
+        help="fingerprinting processes (0 = all cores)",
+    )
+    args = parser.parse_args(argv)
+
+    data = build_database(
+        args.inputfile,
+        dbkey=args.dbkey,
+        trust_smiles=args.trustSmiles,
+        workers=1 if args.singleThreaded else args.workers,
+    )
+    write_fsim(args.outputfile, data)
+    print(
+        f"Database generation finished with key: {args.dbkey}", file=sys.stderr
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Run the similarity-search HTTP service.
+
+Single-process equivalent of the reference's ``gpusim_server.py`` +
+``gpusimserver`` pair: loads ``.fsim`` databases onto the device mesh and
+serves HTTP/JSON searches with request batching.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="tpusimilarity server — load fingerprint databases into "
+        "TPU HBM and answer similarity searches over HTTP/JSON."
+    )
+    parser.add_argument("dbnames", nargs="+", help=".fsim files to serve")
+    parser.add_argument("--hostname", default="localhost")
+    parser.add_argument("--port", default=8080, type=int)
+    parser.add_argument(
+        "--http_interface", action="store_true",
+        help="enable the debug HTML UI (not for production exposure)",
+    )
+    parser.add_argument(
+        "--cpu_only", action="store_true",
+        help="run the scan on host CPU instead of the TPU (slow)",
+    )
+    parser.add_argument(
+        "--gpu_bitcount", "--device_bitcount", dest="device_bitcount",
+        default=0, type=int,
+        help="maximum on-device fingerprint bitcount (forces folding)",
+    )
+    parser.add_argument(
+        "--fold", default=None, type=int,
+        help="explicit fold factor (default: auto from device memory)",
+    )
+    parser.add_argument("--max_batch", default=64, type=int,
+                        help="max queries coalesced into one scan")
+    parser.add_argument("--batch_window_ms", default=2.0, type=float,
+                        help="batching window in milliseconds")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stderr,
+    )
+
+    import jax
+
+    if args.cpu_only:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models.registry import DatabaseRegistry
+    from ..serve.server import SimilarityServer
+
+    registry = DatabaseRegistry.from_fsim_files(
+        args.dbnames,
+        device_bitcount=args.device_bitcount,
+        fold_factor=args.fold,
+    )
+    server = SimilarityServer(
+        registry,
+        hostname=args.hostname,
+        port=args.port,
+        debug_ui=args.http_interface,
+        max_batch=args.max_batch,
+        window_ms=args.batch_window_ms,
+    )
+    print(
+        f"tpusimilarity ready on {args.hostname}:{server.port} "
+        f"({', '.join(registry.names())})",
+        file=sys.stderr,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,44 @@ class DatabaseRegistry:
         )
         return merged
 
+    def search_databases_batch(
+        self,
+        dbnames: Sequence[str],
+        dbkeys: Sequence[str],
+        queries: np.ndarray,
+        ks: Sequence[int],
+        cutoffs: Sequence[float],
+        similarity: str = TANIMOTO,
+        alpha: float = 1.0,
+        beta: float = 1.0,
+    ) -> list[SearchResult]:
+        """Batched multi-database search: one device pass per database for the
+        whole ``(B, W)`` query batch, then a per-query cross-DB merge."""
+        t0 = time.monotonic()
+        b = len(queries)
+        per_db: list[list[SearchResult]] = []
+        for name, key in zip(dbnames, dbkeys):
+            if name not in self._dbs:
+                raise KeyError(f"unknown database {name!r}")
+            per_db.append(
+                self._dbs[name].search_batch(
+                    queries, k=list(ks), cutoff=list(cutoffs), dbkey=key,
+                    similarity=similarity, alpha=alpha, beta=beta,
+                )
+            )
+        merged = [
+            merge_results([db_results[qi] for db_results in per_db], int(ks[qi]))
+            for qi in range(b)
+        ]
+        self.search_count += b
+        elapsed = time.monotonic() - t0
+        self.total_search_seconds += elapsed
+        log.info(
+            "batched search over %s: %d queries, %.1f ms",
+            list(dbnames), b, elapsed * 1e3,
+        )
+        return merged
+
 
 def merge_results(results: Sequence[SearchResult], k: int) -> SearchResult:
     """Score-sorted cross-database merge with SMILES dedup + ID joining."""

@@ -1,0 +1,82 @@
+"""Fingerprint front end: SMILES -> (packed fingerprint, canonical SMILES).
+
+Drop-in equivalent of the reference's ``gpusim_utils.smiles_to_fingerprint_bin``
+(``python/gpusim_utils.py:55-66``): RDKit Morgan radius-2 / ``BITCOUNT``-bit
+when RDKit is importable (bit-exact reference parity), otherwise the built-in
+SMILES parser + Morgan implementation (``smiles.py`` / ``morgan.py``).
+The engine is fingerprint-agnostic either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# NOTE: the engine requires the bit count to be divisible by 32 (packed words)
+BITCOUNT = 1024
+RADIUS = 2
+
+try:  # pragma: no cover - exercised only where rdkit exists
+    from rdkit import Chem, DataStructs  # type: ignore
+    from rdkit.Chem import rdMolDescriptors  # type: ignore
+
+    HAVE_RDKIT = True
+except ImportError:
+    HAVE_RDKIT = False
+
+
+class FingerprintError(RuntimeError):
+    """Raised when a SMILES cannot be converted to a fingerprint."""
+
+
+def smiles_to_fingerprint_bin(
+    smiles: str,
+    trust_smiles: bool = False,
+    bitcount: int = BITCOUNT,
+    radius: int = RADIUS,
+) -> tuple[bytes, bytes]:
+    """SMILES -> (packed fingerprint bytes, canonical SMILES bytes).
+
+    Same contract as the reference utility: raises on unparseable input;
+    ``trust_smiles`` skips full sanitization where supported.
+    """
+    if HAVE_RDKIT:
+        mol = Chem.MolFromSmiles(smiles, sanitize=(not trust_smiles))
+        if mol is None:
+            raise FingerprintError("Bad structure")
+        if trust_smiles:
+            mol.UpdatePropertyCache()
+            Chem.FastFindRings(mol)
+        fp = rdMolDescriptors.GetMorganFingerprintAsBitVect(mol, radius, bitcount)
+        return (
+            DataStructs.BitVectToBinaryText(fp),
+            Chem.MolToSmiles(mol).encode("utf-8"),
+        )
+
+    from .morgan import morgan_bits, pack_bits
+    from .smiles import SmilesError, parse_smiles, write_smiles
+
+    try:
+        mol = parse_smiles(smiles)
+    except SmilesError as e:
+        raise FingerprintError(f"Bad structure: {e}") from e
+    packed = pack_bits(morgan_bits(mol, radius, bitcount))
+    return packed, write_smiles(mol).encode("utf-8")
+
+
+def fingerprint_bin_to_words(fp_binary: bytes, bitcount: int = BITCOUNT) -> np.ndarray:
+    """Packed fingerprint bytes -> ``uint32[bitcount // 32]`` query words."""
+    if len(fp_binary) != bitcount // 8:
+        raise ValueError(
+            f"fingerprint is {len(fp_binary)} bytes, expected {bitcount // 8}"
+        )
+    return np.frombuffer(fp_binary, dtype=np.uint8).view(np.uint32).copy()
+
+
+def smiles_to_query_words(
+    smiles: str, bitcount: int = BITCOUNT, trust_smiles: bool = False
+) -> tuple[np.ndarray, str]:
+    """SMILES -> (query words uint32[W], canonical SMILES str)."""
+    fp, canon = smiles_to_fingerprint_bin(
+        smiles, trust_smiles=trust_smiles, bitcount=bitcount
+    )
+    return fingerprint_bin_to_words(fp, bitcount), canon.decode("utf-8")

@@ -1,0 +1,528 @@
+"""A dependency-free SMILES parser and canonical writer.
+
+The reference delegates all chemistry to RDKit (``gpusim_utils.py:55-66``:
+SMILES → sanitized mol → canonical SMILES + Morgan fingerprint). RDKit is not
+available in every deployment, so this module provides a self-contained
+molecular graph: enough SMILES coverage for the common library corpora
+(organic subset, brackets with isotope/charge/H-count/chirality, aromatic
+atoms and bonds, branches, ring closures incl. %nn, dots, stereo slashes) plus
+implicit-hydrogen perception and a deterministic canonical SMILES writer.
+
+When RDKit *is* importable, the pipeline in ``fingerprints.py`` prefers it for
+bit-exact reference parity; this parser is the standalone fallback and the
+engine for the built-in Morgan fingerprints in ``morgan.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# default valences for implicit-H perception (Daylight organic subset rules)
+_DEFAULT_VALENCES = {
+    "B": (3,),
+    "C": (4,),
+    "N": (3, 5),
+    "O": (2,),
+    "P": (3, 5),
+    "S": (2, 4, 6),
+    "F": (1,),
+    "Cl": (1,),
+    "Br": (1,),
+    "I": (1,),
+}
+
+_ORGANIC_SUBSET = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I", "*"}
+_AROMATIC_SYMBOLS = {"b", "c", "n", "o", "p", "s", "se", "as", "te"}
+
+_ATOMIC_NUMBERS = {
+    "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
+    "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Ar": 18, "K": 19, "Ca": 20, "Sc": 21, "Ti": 22,
+    "V": 23, "Cr": 24, "Mn": 25, "Fe": 26, "Co": 27, "Ni": 28, "Cu": 29,
+    "Zn": 30, "Ga": 31, "Ge": 32, "As": 33, "Se": 34, "Br": 35, "Kr": 36,
+    "Rb": 37, "Sr": 38, "Y": 39, "Zr": 40, "Nb": 41, "Mo": 42, "Tc": 43,
+    "Ru": 44, "Rh": 45, "Pd": 46, "Ag": 47, "Cd": 48, "In": 49, "Sn": 50,
+    "Sb": 51, "Te": 52, "I": 53, "Xe": 54, "Cs": 55, "Ba": 56, "La": 57,
+    "Pt": 78, "Au": 79, "Hg": 80, "Tl": 81, "Pb": 82, "Bi": 83, "*": 0,
+}
+
+
+class SmilesError(ValueError):
+    """Raised on malformed or unsupported SMILES input."""
+
+
+@dataclass
+class Atom:
+    symbol: str  # capitalized element symbol ("C", "Cl", "*")
+    aromatic: bool = False
+    charge: int = 0
+    isotope: int = 0
+    explicit_hs: int | None = None  # None = derive implicit count
+    chirality: str = ""  # "@", "@@" — parsed, not interpreted
+    index: int = 0
+    implicit_hs: int = 0
+    in_ring: bool = False
+
+    @property
+    def atomic_number(self) -> int:
+        return _ATOMIC_NUMBERS.get(self.symbol, 0)
+
+    @property
+    def total_hs(self) -> int:
+        return self.explicit_hs if self.explicit_hs is not None else self.implicit_hs
+
+
+@dataclass
+class Bond:
+    a1: int
+    a2: int
+    order: int = 1  # 1/2/3; aromatic bonds carry order 1 + aromatic flag
+    aromatic: bool = False
+
+    def other(self, idx: int) -> int:
+        return self.a2 if idx == self.a1 else self.a1
+
+    @property
+    def order_value(self) -> float:
+        return 1.5 if self.aromatic else float(self.order)
+
+
+@dataclass
+class Molecule:
+    atoms: list[Atom] = field(default_factory=list)
+    bonds: list[Bond] = field(default_factory=list)
+    _neighbors: list[list[int]] | None = None  # atom idx -> bond indices
+
+    def neighbors(self, idx: int) -> list[int]:
+        """Bond indices incident to atom ``idx``."""
+        if self._neighbors is None:
+            nb: list[list[int]] = [[] for _ in self.atoms]
+            for bi, b in enumerate(self.bonds):
+                nb[b.a1].append(bi)
+                nb[b.a2].append(bi)
+            self._neighbors = nb
+        return self._neighbors[idx]
+
+    def degree(self, idx: int) -> int:
+        return len(self.neighbors(idx))
+
+    def neighbor_atoms(self, idx: int) -> list[int]:
+        return [self.bonds[bi].other(idx) for bi in self.neighbors(idx)]
+
+
+# --------------------------------------------------------------------- parse
+
+
+def _parse_bracket(s: str, pos: int) -> tuple[Atom, int]:
+    """Parse a bracket atom starting after '['; returns (atom, pos_after_])."""
+    end = s.find("]", pos)
+    if end < 0:
+        raise SmilesError("unterminated bracket atom")
+    body, i, n = s[pos:end], 0, len(s[pos:end])
+    isotope = 0
+    while i < n and body[i].isdigit():
+        isotope = isotope * 10 + int(body[i])
+        i += 1
+    # element (possibly aromatic lowercase, possibly two letters)
+    if i >= n:
+        raise SmilesError(f"bracket atom missing element: [{body}]")
+    aromatic = False
+    if body[i : i + 2].lower() in _AROMATIC_SYMBOLS and body[i : i + 2].islower():
+        symbol, aromatic, i = body[i : i + 2].capitalize(), True, i + 2
+    elif i + 1 < n and body[i].isupper() and body[i + 1].islower() and (
+        body[i : i + 2] in _ATOMIC_NUMBERS
+    ):
+        symbol, i = body[i : i + 2], i + 2
+    elif body[i].isupper() or body[i] == "*":
+        symbol, i = body[i], i + 1
+    elif body[i].islower() and body[i] in "bcnops":
+        symbol, aromatic, i = body[i].upper(), True, i + 1
+    else:
+        raise SmilesError(f"bad element in bracket atom: [{body}]")
+
+    chirality = ""
+    if i < n and body[i] == "@":
+        chirality, i = "@", i + 1
+        if i < n and body[i] == "@":
+            chirality, i = "@@", i + 1
+    hs = 0
+    explicit = False
+    if i < n and body[i] == "H":
+        explicit, hs, i = True, 1, i + 1
+        if i < n and body[i].isdigit():
+            hs, i = int(body[i]), i + 1
+    charge = 0
+    while i < n and body[i] in "+-":
+        sign = 1 if body[i] == "+" else -1
+        i += 1
+        if i < n and body[i].isdigit():
+            mag = 0
+            while i < n and body[i].isdigit():
+                mag = mag * 10 + int(body[i])
+                i += 1
+            charge += sign * mag
+        else:
+            charge += sign
+    if i < n and body[i] == ":":  # atom-map class: parse and discard
+        i += 1
+        while i < n and body[i].isdigit():
+            i += 1
+    if i != n:
+        raise SmilesError(f"trailing junk in bracket atom: [{body}]")
+    return (
+        Atom(
+            symbol=symbol,
+            aromatic=aromatic,
+            charge=charge,
+            isotope=isotope,
+            explicit_hs=hs if explicit else 0,
+            chirality=chirality,
+        ),
+        end + 1,
+    )
+
+
+def parse_smiles(smiles: str) -> Molecule:
+    """Parse SMILES into a Molecule, perceiving implicit hydrogens and rings."""
+    s = smiles.strip()
+    if not s:
+        raise SmilesError("empty SMILES")
+    mol = Molecule()
+    stack: list[int] = []
+    prev: int | None = None
+    pending_order: int | None = None  # explicit bond symbol before next atom
+    ring_openings: dict[int, tuple[int, int | None]] = {}
+    i, n = 0, len(s)
+
+    def add_atom(atom: Atom):
+        nonlocal prev, pending_order
+        atom.index = len(mol.atoms)
+        mol.atoms.append(atom)
+        if prev is not None:
+            _add_bond(mol, prev, atom.index, pending_order)
+        prev = atom.index
+        pending_order = None
+
+    def ring_closure(num: int):
+        nonlocal pending_order
+        if prev is None:
+            raise SmilesError("ring closure before any atom")
+        if num in ring_openings:
+            start, open_order = ring_openings.pop(num)
+            order = pending_order if pending_order is not None else open_order
+            if start == prev:
+                raise SmilesError("ring bond to self")
+            _add_bond(mol, start, prev, order)
+        else:
+            ring_openings[num] = (prev, pending_order)
+        pending_order = None
+
+    while i < n:
+        c = s[i]
+        if c == "[":
+            atom, i = _parse_bracket(s, i + 1)
+            add_atom(atom)
+        elif c.isupper():
+            sym = s[i : i + 2] if s[i : i + 2] in ("Cl", "Br") else c
+            if sym not in _ORGANIC_SUBSET:
+                raise SmilesError(f"element {sym!r} must be bracketed")
+            add_atom(Atom(symbol=sym))
+            i += len(sym)
+        elif c in "bcnops":
+            add_atom(Atom(symbol=c.upper(), aromatic=True))
+            i += 1
+        elif c == "*":
+            add_atom(Atom(symbol="*"))
+            i += 1
+        elif c in "-=#$:/\\":
+            pending_order = {"-": 1, "=": 2, "#": 3, "$": 4, ":": -1,
+                             "/": 1, "\\": 1}[c]
+            i += 1
+        elif c.isdigit():
+            ring_closure(int(c))
+            i += 1
+        elif c == "%":
+            if i + 2 >= n or not s[i + 1 : i + 3].isdigit():
+                raise SmilesError("bad %nn ring closure")
+            ring_closure(int(s[i + 1 : i + 3]))
+            i += 3
+        elif c == "(":
+            if prev is None:
+                raise SmilesError("branch before any atom")
+            stack.append(prev)
+            i += 1
+        elif c == ")":
+            if not stack:
+                raise SmilesError("unbalanced parentheses")
+            prev = stack.pop()
+            i += 1
+        elif c == ".":
+            if prev is None:
+                raise SmilesError("empty component before '.'")
+            if pending_order is not None:
+                raise SmilesError("bond symbol before '.'")
+            prev = None
+            i += 1
+        elif c.isspace():
+            break  # SMILES ends at whitespace (title/ID follows)
+        else:
+            raise SmilesError(f"unexpected character {c!r} at {i}")
+
+    if ring_openings:
+        raise SmilesError(f"unclosed ring bonds: {sorted(ring_openings)}")
+    if stack:
+        raise SmilesError("unclosed branch")
+    _perceive(mol)
+    return mol
+
+
+def _add_bond(mol: Molecule, a1: int, a2: int, order: int | None):
+    aromatic = False
+    if order == -1:  # explicit ':' aromatic bond
+        aromatic, order = True, 1
+    if order is None:
+        if mol.atoms[a1].aromatic and mol.atoms[a2].aromatic:
+            aromatic, order = True, 1
+        else:
+            order = 1
+    mol.bonds.append(Bond(a1=a1, a2=a2, order=order, aromatic=aromatic))
+
+
+def _perceive(mol: Molecule) -> None:
+    """Ring membership (via bond-is-in-cycle) and implicit hydrogens."""
+    _mark_rings(mol)
+    for atom in mol.atoms:
+        if atom.explicit_hs is not None:
+            continue  # bracket atoms: explicit H count is authoritative
+        sigma = sum(mol.bonds[bi].order_value for bi in mol.neighbors(atom.index))
+        if atom.aromatic:
+            sigma = -(-int(sigma * 2) // 2)  # ceil of half-integer aromatic sum
+        valences = _DEFAULT_VALENCES.get(atom.symbol)
+        if valences is None:  # '*' or unbracketed unknown: no implicit H
+            atom.implicit_hs = 0
+            continue
+        for v in valences:
+            if sigma <= v:
+                atom.implicit_hs = int(v - sigma)
+                break
+        else:
+            atom.implicit_hs = 0  # hypervalent as written: no implicit H
+
+
+def _mark_rings(mol: Molecule) -> None:
+    """Mark atoms/bonds in cycles: a bond is a ring bond iff removing it keeps
+    its endpoints connected (cycle membership via bridge detection)."""
+    n = len(mol.atoms)
+    if n == 0:
+        return
+    # Tarjan bridge-finding, iterative
+    disc = [-1] * n
+    low = [0] * n
+    is_bridge = [False] * len(mol.bonds)
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        stack = [(root, -1, iter(mol.neighbors(root)))]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            v, parent_bond, it = stack[-1]
+            advanced = False
+            for bi in it:
+                if bi == parent_bond:
+                    continue
+                u = mol.bonds[bi].other(v)
+                if disc[u] == -1:
+                    disc[u] = low[u] = timer
+                    timer += 1
+                    stack.append((u, bi, iter(mol.neighbors(u))))
+                    advanced = True
+                    break
+                low[v] = min(low[v], disc[u])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                    if low[v] > disc[pv]:
+                        is_bridge[parent_bond] = True
+    for bi, b in enumerate(mol.bonds):
+        if not is_bridge[bi]:
+            # bond in a cycle (or self-loop, which we disallow)
+            mol.atoms[b.a1].in_ring = True
+            mol.atoms[b.a2].in_ring = True
+            b.in_ring = True  # type: ignore[attr-defined]
+
+
+# ----------------------------------------------------------------- canonical
+
+
+def canonical_ranks(mol: Molecule) -> list[int]:
+    """Deterministic atom ranks by iterative invariant refinement
+    (Morgan-style canonicalization with full tie-breaking)."""
+    n = len(mol.atoms)
+    inv = [
+        (
+            a.atomic_number,
+            a.aromatic,
+            a.charge,
+            a.total_hs,
+            mol.degree(i),
+            a.in_ring,
+            a.isotope,
+        )
+        for i, a in enumerate(mol.atoms)
+    ]
+    ranks = _ranks_from_keys(inv)
+    for _ in range(n):
+        keys = []
+        for i in range(n):
+            neigh = sorted(
+                (mol.bonds[bi].order_value, ranks[mol.bonds[bi].other(i)])
+                for bi in mol.neighbors(i)
+            )
+            keys.append((ranks[i], tuple(neigh)))
+        new_ranks = _ranks_from_keys(keys)
+        if new_ranks == ranks:
+            break
+        ranks = new_ranks
+    # tie-break remaining symmetric atoms deterministically
+    while len(set(ranks)) < n:
+        # pick the lowest duplicated rank, split off its lowest-index atom
+        dup_rank = min(r for r in ranks if ranks.count(r) > 1)
+        chosen = min(i for i in range(n) if ranks[i] == dup_rank)
+        keys2 = [(r, 0 if i == chosen else 1) for i, r in enumerate(ranks)]
+        ranks = _ranks_from_keys(keys2)
+        for _ in range(n):
+            keys = []
+            for i in range(n):
+                neigh = sorted(
+                    (mol.bonds[bi].order_value, ranks[mol.bonds[bi].other(i)])
+                    for bi in mol.neighbors(i)
+                )
+                keys.append((ranks[i], tuple(neigh)))
+            new_ranks = _ranks_from_keys(keys)
+            if new_ranks == ranks:
+                break
+            ranks = new_ranks
+    return ranks
+
+
+def _ranks_from_keys(keys) -> list[int]:
+    order = {k: r for r, k in enumerate(sorted(set(keys)))}
+    return [order[k] for k in keys]
+
+
+_BOND_SYMBOL = {1: "", 2: "=", 3: "#", 4: "$"}
+
+
+def write_smiles(mol: Molecule) -> str:
+    """Write a canonical SMILES (canonical within this implementation)."""
+    n = len(mol.atoms)
+    if n == 0:
+        return ""
+    ranks = canonical_ranks(mol)
+
+    def child_order(i: int):
+        return sorted(
+            mol.neighbors(i), key=lambda bi: (ranks[mol.bonds[bi].other(i)], bi)
+        )
+
+    # ---- pass 1: spanning-tree DFS; classify ring-closure (back) bonds ----
+    visited = [False] * n
+    tree_children: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    ring_bonds_at: list[list[int]] = [[] for _ in range(n)]  # both endpoints
+    roots: list[int] = []
+    used_bond = [False] * len(mol.bonds)
+    for root in sorted(range(n), key=lambda i: (ranks[i], i)):
+        if visited[root]:
+            continue
+        roots.append(root)
+        visited[root] = True
+        order_stack = [(root, iter(child_order(root)))]
+        while order_stack:
+            v, it = order_stack[-1]
+            for bi in it:
+                if used_bond[bi]:
+                    continue
+                used_bond[bi] = True
+                u = mol.bonds[bi].other(v)
+                if visited[u]:
+                    ring_bonds_at[v].append(bi)
+                    ring_bonds_at[u].append(bi)
+                else:
+                    visited[u] = True
+                    tree_children[v].append((bi, u))
+                    order_stack.append((u, iter(child_order(u))))
+                break
+            else:
+                order_stack.pop()
+
+    # ---- pass 2: emit, opening/closing ring digits at both endpoints ----
+    digit_free = list(range(99, 0, -1))
+    open_digits: dict[int, int] = {}  # bond idx -> digit
+
+    def atom_token(i: int) -> str:
+        a = mol.atoms[i]
+        needs_bracket = (
+            (a.symbol not in _ORGANIC_SUBSET and a.symbol != "*")
+            or a.charge != 0
+            or a.isotope != 0
+            or a.explicit_hs is not None
+        )
+        sym = a.symbol.lower() if a.aromatic else a.symbol
+        if not needs_bracket:
+            return sym
+        h = a.total_hs
+        htxt = "" if h == 0 else ("H" if h == 1 else f"H{h}")
+        ctxt = ""
+        if a.charge:
+            sign = "+" if a.charge > 0 else "-"
+            mag = abs(a.charge)
+            ctxt = sign if mag == 1 else f"{sign}{mag}"
+        iso = str(a.isotope) if a.isotope else ""
+        return f"[{iso}{sym}{htxt}{ctxt}]"
+
+    def bond_token(bi: int) -> str:
+        b = mol.bonds[bi]
+        if b.aromatic:
+            return ""
+        if b.order == 1 and mol.atoms[b.a1].aromatic and mol.atoms[b.a2].aromatic:
+            return "-"  # explicit single bond between two aromatic atoms
+        return _BOND_SYMBOL[b.order]
+
+    def emit(i: int) -> str:
+        out = [atom_token(i)]
+        for bi in ring_bonds_at[i]:
+            if bi in open_digits:  # closing end
+                digit = open_digits.pop(bi)
+                digit_free.append(digit)
+                out.append(bond_token(bi) + _digit_txt(digit))
+            else:  # opening end
+                digit = digit_free.pop()
+                open_digits[bi] = digit
+                out.append(bond_token(bi) + _digit_txt(digit))
+        children = tree_children[i]
+        for idx, (bi, j) in enumerate(children):
+            sub = bond_token(bi) + emit(j)
+            out.append(f"({sub})" if idx < len(children) - 1 else sub)
+        return "".join(out)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * n + 100))
+    try:
+        return ".".join(emit(r) for r in roots)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+
+def _digit_txt(d: int) -> str:
+    return str(d) if d < 10 else f"%{d:02d}"
+
+
+def canonical_smiles(smiles: str) -> str:
+    """Parse and re-write SMILES in this implementation's canonical form."""
+    return write_smiles(parse_smiles(smiles))

@@ -1,0 +1,221 @@
+"""Tests for the built-in SMILES parser, canonical writer, and Morgan FPs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpusimilarity_tpu.utils.fingerprints import (
+    BITCOUNT,
+    FingerprintError,
+    fingerprint_bin_to_words,
+    smiles_to_fingerprint_bin,
+    smiles_to_query_words,
+)
+from gpusimilarity_tpu.utils.morgan import morgan_bits, smiles_to_morgan_packed
+from gpusimilarity_tpu.utils.smiles import (
+    SmilesError,
+    canonical_smiles,
+    parse_smiles,
+    write_smiles,
+)
+
+
+class TestParser:
+    def test_ethanol(self):
+        m = parse_smiles("CCO")
+        assert len(m.atoms) == 3
+        assert [a.total_hs for a in m.atoms] == [3, 2, 1]
+        assert len(m.bonds) == 2
+
+    def test_benzene_aromatic(self):
+        m = parse_smiles("c1ccccc1")
+        assert len(m.atoms) == 6
+        assert all(a.aromatic and a.in_ring for a in m.atoms)
+        assert all(a.total_hs == 1 for a in m.atoms)
+        assert all(b.aromatic for b in m.bonds)
+        assert len(m.bonds) == 6
+
+    def test_pyridine_nitrogen_no_h(self):
+        m = parse_smiles("c1ccncc1")
+        n_atom = next(a for a in m.atoms if a.symbol == "N")
+        assert n_atom.total_hs == 0
+
+    def test_pyrrole_bracket_nh(self):
+        m = parse_smiles("[nH]1cccc1")
+        n_atom = next(a for a in m.atoms if a.symbol == "N")
+        assert n_atom.total_hs == 1 and n_atom.aromatic
+
+    def test_charges(self):
+        assert parse_smiles("[NH4+]").atoms[0].charge == 1
+        assert parse_smiles("[O-]").atoms[0].charge == -1
+        assert parse_smiles("[Fe+2]").atoms[0].charge == 2
+        assert parse_smiles("[Fe++]").atoms[0].charge == 2
+
+    def test_isotope(self):
+        assert parse_smiles("[13CH4]").atoms[0].isotope == 13
+
+    def test_bond_orders(self):
+        m = parse_smiles("C=C")
+        assert m.bonds[0].order == 2
+        assert [a.total_hs for a in m.atoms] == [2, 2]
+        m = parse_smiles("C#N")
+        assert m.bonds[0].order == 3
+        assert m.atoms[0].total_hs == 1 and m.atoms[1].total_hs == 0
+
+    def test_branches_and_rings(self):
+        m = parse_smiles("CC(C)(C)C")  # neopentane
+        assert len(m.atoms) == 5
+        center = m.atoms[1]
+        assert m.degree(1) == 4 and center.total_hs == 0
+        m = parse_smiles("C1CC1")
+        assert all(a.in_ring for a in m.atoms)
+
+    def test_percent_ring_closure(self):
+        m1, m2 = parse_smiles("C1CC1"), parse_smiles("C%42CC%42")
+        assert len(m1.bonds) == len(m2.bonds) == 3
+
+    def test_two_letter_elements(self):
+        m = parse_smiles("ClCCBr")
+        assert m.atoms[0].symbol == "Cl" and m.atoms[-1].symbol == "Br"
+
+    def test_disconnected_components(self):
+        m = parse_smiles("CCO.[Na+]")
+        assert len(m.atoms) == 4 and len(m.bonds) == 2
+
+    def test_sulfur_valences(self):
+        # sulfate-like hypervalent S with explicit bonds
+        m = parse_smiles("O=S(=O)(O)O")
+        s = next(a for a in m.atoms if a.symbol == "S")
+        assert s.total_hs == 0
+
+    def test_smiles_stops_at_whitespace(self):
+        m = parse_smiles("CCO ZINC123")
+        assert len(m.atoms) == 3
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["", "C(", "C)", "C1CC", "[C", "C%4", "Xx", "1CC", "[]", "C..C"],
+    )
+    def test_malformed_raises(self, bad):
+        with pytest.raises(SmilesError):
+            parse_smiles(bad)
+
+
+class TestCanonical:
+    @pytest.mark.parametrize(
+        "a,b",
+        [
+            ("CCO", "OCC"),
+            ("Cc1ccccc1", "c1ccccc1C"),
+            ("CC(C)C", "C(C)(C)C"),
+            ("c1ccncc1", "n1ccccc1"),
+            ("C1CC2CCC1CC2", "C2CC1CCC2CC1"),
+            ("O=C(O)c1ccccc1", "c1ccccc1C(=O)O"),
+        ],
+    )
+    def test_order_invariance(self, a, b):
+        assert canonical_smiles(a) == canonical_smiles(b)
+
+    def test_idempotent(self):
+        for s in ("CCO", "c1ccc2ccccc2c1", "CC(=O)[O-]", "C1=CC=CC=C1"):
+            c = canonical_smiles(s)
+            assert canonical_smiles(c) == c
+
+    def test_distinct_molecules_stay_distinct(self):
+        assert canonical_smiles("CCO") != canonical_smiles("CCN")
+        assert canonical_smiles("C1CC1") != canonical_smiles("CCC")
+
+    def test_reference_fixture_corpus(self):
+        """Every real ZINC SMILES in the reference fixture parses,
+        canonicalizes idempotently, and fingerprints order-invariantly."""
+        from gpusimilarity_tpu.utils.fsim import read_fsim
+
+        path = "/root/reference/test/small.fsim"
+        if not os.path.exists(path):
+            pytest.skip("reference fixture not available")
+        data = read_fsim(path)
+        for smi in data.smiles:
+            s = smi.decode()
+            c = canonical_smiles(s)
+            assert canonical_smiles(c) == c
+            assert smiles_to_morgan_packed(s) == smiles_to_morgan_packed(c)
+
+
+class TestMorgan:
+    def test_deterministic(self):
+        assert smiles_to_morgan_packed("CCO") == smiles_to_morgan_packed("CCO")
+
+    def test_order_invariant(self):
+        assert smiles_to_morgan_packed("CCO") == smiles_to_morgan_packed("OCC")
+
+    def test_different_molecules_differ(self):
+        assert smiles_to_morgan_packed("CCO") != smiles_to_morgan_packed("CCCCO")
+
+    def test_radius_zero_subset_of_radius_two(self):
+        m = parse_smiles("CCO")
+        b0 = morgan_bits(m, radius=0)
+        b2 = morgan_bits(m, radius=2)
+        assert (b2 >= b0).all()
+        assert b2.sum() > b0.sum()
+
+    def test_packed_width(self):
+        fp = smiles_to_morgan_packed("c1ccccc1", nbits=1024)
+        assert len(fp) == 128
+        fp512 = smiles_to_morgan_packed("c1ccccc1", nbits=512)
+        assert len(fp512) == 64
+
+    def test_similar_molecules_share_more_bits(self):
+        def tani(a, b):
+            ab = np.frombuffer(a, np.uint8)
+            bb = np.frombuffer(b, np.uint8)
+            inter = np.unpackbits(ab & bb).sum()
+            union = np.unpackbits(ab | bb).sum()
+            return inter / union
+
+        ethanol = smiles_to_morgan_packed("CCO")
+        propanol = smiles_to_morgan_packed("CCCO")
+        benzene = smiles_to_morgan_packed("c1ccccc1")
+        assert tani(ethanol, propanol) > tani(ethanol, benzene)
+
+
+class TestFingerprintFrontend:
+    def test_smiles_to_fingerprint_bin(self):
+        fp, canon = smiles_to_fingerprint_bin("OCC")
+        assert len(fp) == BITCOUNT // 8
+        assert canon == smiles_to_fingerprint_bin("CCO")[1]
+
+    def test_bad_structure_raises(self):
+        with pytest.raises(FingerprintError):
+            smiles_to_fingerprint_bin("not a smiles (((")
+
+    def test_query_words(self):
+        words, canon = smiles_to_query_words("c1ccccc1")
+        assert words.shape == (32,) and words.dtype == np.uint32
+        assert isinstance(canon, str)
+
+    def test_fingerprint_bin_to_words_width_check(self):
+        with pytest.raises(ValueError):
+            fingerprint_bin_to_words(b"\x00" * 5)
+
+    def test_end_to_end_self_search(self, rng):
+        """Full slice: SMILES -> fingerprints -> FingerprintData -> engine."""
+        from gpusimilarity_tpu.models import FingerprintDB
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+
+        corpus = ["CCO", "CCCO", "c1ccccc1", "c1ccncc1", "CC(=O)O",
+                  "CC(C)CC", "OCC(O)CO", "Clc1ccccc1"]
+        fps, canons = [], []
+        for s in corpus:
+            fp, c = smiles_to_fingerprint_bin(s)
+            fps.append(np.frombuffer(fp, np.uint8))
+            canons.append(c)
+        data = FingerprintData(
+            fingerprints=np.stack(fps),
+            smiles=canons,
+            ids=[f"M{i}".encode() for i in range(len(corpus))],
+        )
+        db = FingerprintDB(data)
+        q, _ = smiles_to_query_words("OCC")  # ethanol, reordered
+        r = db.search(q, k=3)
+        assert r.ids[0] == "M0" and r.scores[0] == 1.0

@@ -1,0 +1,379 @@
+"""Integration tests: HTTP service, batching, CLIs, and the FDW."""
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gpusimilarity_tpu.models import DatabaseRegistry
+from gpusimilarity_tpu.serve.batching import BatchingSearcher
+from gpusimilarity_tpu.serve.server import SimilarityServer, parse_form, RequestError
+from gpusimilarity_tpu.utils.fingerprints import smiles_to_fingerprint_bin
+from gpusimilarity_tpu.utils.fsim import FingerprintData, write_fsim
+
+CORPUS = [
+    "CCO", "CCCO", "CCCCO", "c1ccccc1", "c1ccncc1", "Cc1ccccc1",
+    "CC(=O)O", "CC(=O)N", "CCN(CC)CC", "OCC(O)CO", "Clc1ccccc1",
+    "Brc1ccccc1", "CC(C)CC", "C1CCCCC1", "C1CCNCC1", "N#Cc1ccccc1",
+]
+
+
+def corpus_data(dbkey=""):
+    fps, smiles = [], []
+    for s in CORPUS:
+        fp, canon = smiles_to_fingerprint_bin(s)
+        fps.append(np.frombuffer(fp, np.uint8))
+        smiles.append(canon)
+    return FingerprintData(
+        dbkey=dbkey,
+        fingerprints=np.stack(fps),
+        smiles=smiles,
+        ids=[f"CMPD{i:04d}".encode() for i in range(len(CORPUS))],
+    )
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    write_fsim(tmp / "corpus.fsim", corpus_data())
+    write_fsim(tmp / "keyed.fsim", corpus_data(dbkey="sekrit"))
+    registry = DatabaseRegistry.from_fsim_files(
+        [str(tmp / "corpus.fsim"), str(tmp / "keyed.fsim")]
+    )
+    srv = SimilarityServer(registry, port=0, debug_ui=True, window_ms=1.0)
+    srv.start_background()
+    yield srv
+    srv.close()
+
+
+def post(server, path, fields, expect_error=False):
+    body = urllib.parse.urlencode(fields).encode()
+    url = f"http://localhost:{server.port}{path}"
+    try:
+        with urllib.request.urlopen(urllib.request.Request(url, data=body)) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        payload = e.read()
+        try:
+            payload = json.loads(payload)
+        except Exception:
+            pass
+        if not expect_error:
+            raise AssertionError(f"unexpected {e.status}: {payload}")
+        return e.status, payload
+
+
+class TestHTTP:
+    def test_basic_json_search(self, server):
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": 5, "similarity_cutoff": 0,
+             "dbnames": "corpus"},
+        )
+        assert status == 200
+        assert payload["approximate_count"] == len(CORPUS)
+        assert len(payload["results"]) == 5
+        cid, smi, score = payload["results"][0]
+        assert cid == "CMPD0000" and score == 1.0
+        assert payload["query_canonical"]
+
+    def test_wire_shape_matches_reference(self, server):
+        _, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "c1ccccc1", "return_count": 3, "similarity_cutoff": 0,
+             "dbnames": "corpus", "dbkeys": ""},
+        )
+        assert set(payload) >= {"approximate_count", "results"}
+        for row in payload["results"]:
+            assert isinstance(row, list) and len(row) == 3
+            assert isinstance(row[0], str) and isinstance(row[1], str)
+            assert isinstance(row[2], float)
+
+    def test_url_suffix_database_selection(self, server):
+        # FDW-style: database in URL, no dbnames field
+        status, payload = post(
+            server, "/similarity_search_json_corpus",
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0},
+        )
+        assert status == 200 and len(payload["results"]) == 3
+
+    def test_all_databases(self, server):
+        status, payload = post(
+            server, "/similarity_search_json_all",
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0,
+             "dbkeys": ",sekrit"},
+        )
+        assert status == 200
+        # same compound in both DBs -> ids joined with ;:;
+        assert ";:;" in payload["results"][0][0]
+        assert payload["approximate_count"] == 2 * len(CORPUS)
+
+    def test_dbkey_gating_over_http(self, server):
+        _, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0,
+             "dbnames": "keyed", "dbkeys": "wrong"},
+        )
+        assert payload["results"] == [] and payload["approximate_count"] == 0
+
+    def test_cutoff_filters(self, server):
+        _, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": 10, "similarity_cutoff": 0.99,
+             "dbnames": "corpus"},
+        )
+        assert len(payload["results"]) == 1  # only the exact match
+
+    def test_tversky_extension(self, server):
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0,
+             "dbnames": "corpus", "similarity": "tversky",
+             "alpha": 0.3, "beta": 0.7},
+        )
+        assert status == 200 and payload["results"][0][2] == 1.0
+
+    def test_fp_hex_query(self, server):
+        fp, _ = smiles_to_fingerprint_bin("CCO")
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"fp_hex": fp.hex(), "return_count": 2, "similarity_cutoff": 0,
+             "dbnames": "corpus"},
+        )
+        assert status == 200 and payload["results"][0][0] == "CMPD0000"
+
+    def test_bad_smiles_is_400(self, server):
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "((((", "return_count": 5, "similarity_cutoff": 0,
+             "dbnames": "corpus"},
+            expect_error=True,
+        )
+        assert status == 400 and "error" in payload
+
+    def test_unknown_database_is_400(self, server):
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": 5, "similarity_cutoff": 0,
+             "dbnames": "nope"},
+            expect_error=True,
+        )
+        assert status == 400
+
+    def test_missing_smiles_is_400(self, server):
+        status, _ = post(
+            server, "/similarity_search_json",
+            {"return_count": 5, "similarity_cutoff": 0, "dbnames": "corpus"},
+            expect_error=True,
+        )
+        assert status == 400
+
+    def test_json_body(self, server):
+        body = json.dumps(
+            {"smiles": "CCO", "return_count": 2, "similarity_cutoff": 0,
+             "dbnames": "corpus"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://localhost:{server.port}/similarity_search_json",
+            data=body, headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+        assert payload["results"][0][0] == "CMPD0000"
+
+    def test_healthz_and_stats(self, server):
+        with urllib.request.urlopen(
+            f"http://localhost:{server.port}/healthz"
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and "corpus" in health["databases"]
+        with urllib.request.urlopen(f"http://localhost:{server.port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["databases"]["corpus"]["count"] == len(CORPUS)
+        assert stats["searches"] > 0
+
+    def test_debug_html_ui(self, server):
+        with urllib.request.urlopen(f"http://localhost:{server.port}/") as r:
+            page = r.read().decode()
+        assert "similarity_search_json" in page
+        body = urllib.parse.urlencode(
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0,
+             "dbnames": "corpus"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://localhost:{server.port}/similarity_search", data=body
+        )
+        with urllib.request.urlopen(req) as r:
+            page = r.read().decode()
+        assert "CMPD0000" in page and "Approximate" in page
+
+    def test_concurrent_requests_batch(self, server):
+        """Concurrent searches all succeed (and coalesce into batches)."""
+        errors, results = [], []
+
+        def go(smiles):
+            try:
+                _, payload = post(
+                    server, "/similarity_search_json",
+                    {"smiles": smiles, "return_count": 3,
+                     "similarity_cutoff": 0, "dbnames": "corpus"},
+                )
+                results.append(payload)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=go, args=(s,))
+            for s in CORPUS[:8]
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 8
+        for payload, smiles in zip(results, CORPUS[:8]):
+            assert payload["results"][0][2] == 1.0
+
+
+class TestParseForm:
+    def test_urlencoded(self):
+        out = parse_form(
+            "application/x-www-form-urlencoded", b"a=1&b=hello%20world"
+        )
+        assert out == {"a": "1", "b": "hello world"}
+
+    def test_json(self):
+        out = parse_form("application/json", b'{"a": 1, "b": "x"}')
+        assert out == {"a": "1", "b": "x"}
+
+    def test_multipart(self):
+        boundary = "XX"
+        body = (
+            f"--{boundary}\r\nContent-Disposition: form-data; name=\"smiles\""
+            f"\r\n\r\nCCO\r\n--{boundary}--\r\n"
+        ).encode()
+        out = parse_form(f"multipart/form-data; boundary={boundary}", body)
+        assert out["smiles"] == "CCO"
+
+    def test_bad_json(self):
+        with pytest.raises(RequestError):
+            parse_form("application/json", b"{oops")
+
+    def test_unsupported(self):
+        with pytest.raises(RequestError):
+            parse_form("application/octet-stream", b"xx")
+
+
+class TestBatching:
+    def test_heterogeneous_params_batch_correctly(self, rng):
+        from conftest import random_fingerprint_data
+
+        reg = DatabaseRegistry()
+        data = random_fingerprint_data(rng, count=128)
+        reg.add("d", data)
+        searcher = BatchingSearcher(reg, max_batch=16, window_ms=20.0)
+        words = data.packed_words()
+        try:
+            futures = []
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(8) as pool:
+                for i in range(8):
+                    futures.append(
+                        pool.submit(
+                            searcher.search, ["d"], [""], words[i],
+                            k=5 + i, cutoff=0.05 * i,
+                        )
+                    )
+                results = [f.result(timeout=60) for f in futures]
+            for i, r in enumerate(results):
+                assert r.scores[0] == 1.0
+                assert len(r) <= 5 + i
+                assert all(s >= 0.05 * i for s in r.scores)
+        finally:
+            searcher.close()
+
+    def test_error_propagates_to_caller(self, rng):
+        reg = DatabaseRegistry()
+        searcher = BatchingSearcher(reg, window_ms=1.0)
+        try:
+            with pytest.raises(KeyError):
+                searcher.search(["missing"], [""], np.zeros(32, np.uint32))
+        finally:
+            searcher.close()
+
+
+class TestFDW:
+    def test_fdw_execute(self, server):
+        from gpusimilarity_tpu.fdw import TpuSimilarityFDW
+
+        class Qual:
+            field_name = "query"
+            operator = "="
+            value = "CCO"
+
+        fdw = TpuSimilarityFDW(
+            {"server": "localhost", "port": str(server.port),
+             "db_name": "corpus", "max_results": "4"},
+            ["id", "query", "smiles", "similarity"],
+        )
+        rows = list(fdw.execute([Qual()], None))
+        assert len(rows) == 4
+        assert rows[0]["id"] == "CMPD0000"
+        assert rows[0]["similarity"] == 1.0
+        assert rows[0]["query"] == "CCO"
+        # cached second execution
+        rows2 = list(fdw.execute([Qual()], None))
+        assert rows2 == rows
+
+    def test_fdw_no_qual_yields_nothing(self):
+        from gpusimilarity_tpu.fdw import TpuSimilarityFDW
+
+        fdw = TpuSimilarityFDW(
+            {"server": "localhost", "port": "1", "max_results": "4"}, []
+        )
+        assert list(fdw.execute([], None)) == []
+
+
+class TestCLIs:
+    def test_createdb_mergedb_roundtrip(self, tmp_path):
+        import gzip
+
+        from gpusimilarity_tpu.cli import createdb, mergedb
+        from gpusimilarity_tpu.utils.fsim import read_fsim
+
+        smi = tmp_path / "in.smi.gz"
+        with gzip.open(smi, "wb") as f:
+            for i, s in enumerate(CORPUS[:6]):
+                f.write(f"{s} ID{i}\n".encode())
+            f.write(b"not_a_smiles_(((( BAD1\n")  # dropped with a warning
+
+        out = tmp_path / "out.fsim"
+        createdb.main([str(smi), str(out), "--dbkey", "k1", "--singleThreaded"])
+        data = read_fsim(out)
+        assert data.count == 6
+        assert data.dbkey == "k1"
+        assert data.ids == [f"ID{i}".encode() for i in range(6)]
+
+        merged = tmp_path / "merged.fsim"
+        mergedb.main(["-o", str(merged), str(out), str(out)])
+        m = read_fsim(merged)
+        assert m.count == 12 and m.dbkey == "k1"
+
+    def test_search_repl_client(self, server, monkeypatch, capsys):
+        import io
+
+        from gpusimilarity_tpu.cli import search as search_cli
+
+        monkeypatch.setattr("sys.stdin", io.StringIO("CCO\n\n"))
+        search_cli.main(
+            ["--port", str(server.port), "--dbnames", "corpus",
+             "--return_count", "3"]
+        )
+        out = capsys.readouterr().out
+        assert "CMPD0000" in out and "1.0000" in out
