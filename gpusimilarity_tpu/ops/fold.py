@@ -46,6 +46,13 @@ def fold_words(words, fold_factor: int):
     w = words.shape[-1]
     if w % fold_factor != 0:
         raise ValueError(f"fold factor {fold_factor} does not divide {w} words")
+    if isinstance(words, np.ndarray) and words.ndim == 2 and len(words) >= 1024:
+        try:
+            from ..utils import native
+
+            return native.fold_rows(words, fold_factor)
+        except ImportError:
+            pass
     grouped = words.reshape(*words.shape[:-1], fold_factor, w // fold_factor)
     if isinstance(grouped, np.ndarray):
         return np.bitwise_or.reduce(grouped, axis=-2)

@@ -36,10 +36,18 @@ _POPCOUNT_TABLE = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
 def popcount_rows_np(words: np.ndarray) -> np.ndarray:
     """Host-side popcount of packed rows: ``uint32[N, W] -> int32[N]``.
 
-    Used at DB load to precompute per-row totals (numpy<2.0 lacks
-    ``bitwise_count``, so use a byte lookup table).
+    Used at DB load to precompute per-row totals. Uses the native C++
+    accelerator when built; falls back to a byte lookup table (numpy<2.0
+    lacks ``bitwise_count``).
     """
-    as_bytes = words.view(np.uint8)
+    if words.ndim == 2 and words.shape[0] >= 1024:
+        try:
+            from ..utils import native
+
+            return native.popcount_rows(words)
+        except ImportError:
+            pass
+    as_bytes = np.ascontiguousarray(words).view(np.uint8)
     return _POPCOUNT_TABLE[as_bytes].sum(axis=-1, dtype=np.int32)
 
 

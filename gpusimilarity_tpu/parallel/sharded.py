@@ -92,8 +92,13 @@ def build_store(
     per_shard = _round_up(per_shard, chunk)
     n_padded = per_shard * n_shards
 
-    planar = np.zeros((w, n_padded), dtype=np.uint32)
-    planar[:, :n] = packed_rows.T
+    try:
+        from ..utils import native
+
+        planar = native.transpose_planar(packed_rows, n_padded)
+    except ImportError:
+        planar = np.zeros((w, n_padded), dtype=np.uint32)
+        planar[:, :n] = packed_rows.T
     pops = np.zeros(n_padded, dtype=np.int32)
     pops[:n] = popcount_rows_np(packed_rows)
 

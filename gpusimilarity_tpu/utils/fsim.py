@@ -33,6 +33,7 @@ from typing import Iterable, Optional, Sequence
 
 import numpy as np
 
+from . import native
 from .qtstream import (
     QtStreamError,
     QtStreamReader,
@@ -42,6 +43,7 @@ from .qtstream import (
     qcompress,
     quncompress,
 )
+from .strings import StringTable
 
 DATABASE_VERSION = 3
 GIBIBYTE = 2**30
@@ -57,6 +59,9 @@ class FingerprintData:
     of a fingerprint is bit ``i % 8`` of byte ``i // 8`` — the layout RDKit's
     ``BitVectToBinaryText`` emits and the layout the engine's packed-word
     kernels consume (after a ``view(uint32)``).
+
+    ``smiles``/``ids`` are any ``Sequence[bytes]`` — plain lists or zero-copy
+    :class:`~gpusimilarity_tpu.utils.strings.StringTable`s at scale.
     """
 
     dbkey: str = ""
@@ -64,8 +69,8 @@ class FingerprintData:
     fingerprints: np.ndarray = field(
         default_factory=lambda: np.zeros((0, DEFAULT_BITCOUNT // 8), np.uint8)
     )
-    smiles: list[bytes] = field(default_factory=list)
-    ids: list[bytes] = field(default_factory=list)
+    smiles: Sequence[bytes] = field(default_factory=list)
+    ids: Sequence[bytes] = field(default_factory=list)
 
     @property
     def count(self) -> int:
@@ -105,11 +110,34 @@ def _read_chunk_list(reader: QtStreamReader) -> list[memoryview]:
     return chunks
 
 
-def read_fsim(path: str | os.PathLike, max_workers: Optional[int] = None) -> FingerprintData:
-    """Load a ``.fsim`` v3 file, decompressing chunks on a thread pool.
+def _decompress_all(chunks, max_workers):
+    """qUncompress a chunk list: native parallel path, else GIL-free threads
+    (mirrors the reference's QThreadPool decompress, ``gpusim.cpp:202-236``)."""
+    if not chunks:
+        return []
+    try:
+        return native.decompress_chunks(chunks)
+    except ImportError:
+        pass
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return [
+            np.frombuffer(raw, dtype=np.uint8)
+            for raw in pool.map(quncompress, chunks)
+        ]
 
-    zlib releases the GIL, so the thread pool mirrors the reference's
-    ``QThreadPool`` parallel decompress (``gpusim.cpp:202-236``).
+
+def read_fsim(
+    path: str | os.PathLike,
+    max_workers: Optional[int] = None,
+    string_tables: bool = True,
+) -> FingerprintData:
+    """Load a ``.fsim`` v3 file.
+
+    Chunk decompression runs in parallel (native C++ pool when built, else
+    Python threads — zlib releases the GIL). With ``string_tables=True`` the
+    SMILES/ID lists are zero-copy :class:`StringTable`s over the decompressed
+    blobs — the scalable layout for billion-row libraries; pass ``False`` for
+    plain ``list[bytes]``.
     """
     with open(path, "rb") as f:
         raw = f.read()
@@ -127,26 +155,30 @@ def read_fsim(path: str | os.PathLike, max_workers: Optional[int] = None) -> Fin
     smi_chunks = _read_chunk_list(reader)
     id_chunks = _read_chunk_list(reader)
 
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        fp_parts = list(pool.map(quncompress, fp_chunks))
-        smi_parts = list(pool.map(lambda c: parse_string_chunk(quncompress(c)), smi_chunks))
-        id_parts = list(pool.map(lambda c: parse_string_chunk(quncompress(c)), id_chunks))
+    fp_parts = _decompress_all(fp_chunks, max_workers)
+    smi_parts = _decompress_all(smi_chunks, max_workers)
+    id_parts = _decompress_all(id_chunks, max_workers)
 
     fp_bytes_per_row = bitcount // 8
-    fp_raw = b"".join(fp_parts)
-    if len(fp_raw) != count * fp_bytes_per_row:
+    fp_raw = (
+        np.concatenate(fp_parts) if fp_parts else np.zeros(0, np.uint8)
+    )
+    if fp_raw.size != count * fp_bytes_per_row:
         raise QtStreamError(
-            f"fingerprint payload is {len(fp_raw)} B, expected "
+            f"fingerprint payload is {fp_raw.size} B, expected "
             f"{count} x {fp_bytes_per_row} B"
         )
-    fingerprints = np.frombuffer(fp_raw, dtype=np.uint8).reshape(count, fp_bytes_per_row)
+    fingerprints = fp_raw.reshape(count, fp_bytes_per_row)
 
-    smiles: list[bytes] = []
-    for p in smi_parts:
-        smiles.extend(p)
-    ids: list[bytes] = []
-    for p in id_parts:
-        ids.extend(p)
+    if string_tables:
+        smiles: Sequence[bytes] = StringTable.from_record_chunks(smi_parts)
+        ids: Sequence[bytes] = StringTable.from_record_chunks(id_parts)
+    else:
+        smiles, ids = [], []
+        for p in smi_parts:
+            smiles.extend(parse_string_chunk(p.tobytes()))
+        for p in id_parts:
+            ids.extend(parse_string_chunk(p.tobytes()))
 
     data = FingerprintData(
         dbkey=dbkey.decode("utf-8"),

@@ -1,0 +1,190 @@
+// tpusim_native — host-side runtime accelerators for tpusimilarity.
+//
+// The reference implements its load path natively (parallel qUncompress on a
+// QThreadPool + char* string vectors, gpusim.cpp:48-85,202-236). This is the
+// TPU rebuild's native equivalent, exposed as a plain C ABI consumed from
+// Python via ctypes:
+//   * parallel zlib decompression of qCompress-framed chunks
+//   * one-pass parsing of writeString record streams into an offset table
+//     (backs the zero-copy StringTable that replaces per-string heap char*s)
+//   * packed-row popcounts, OR-folding, and row->planar transposition
+//
+// Build: make -C native   (produces libtpusim_native.so)
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+inline uint32_t read_be32(const uint8_t* p) {
+    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+int hardware_threads(int requested) {
+    if (requested > 0) return requested;
+    unsigned n = std::thread::hardware_concurrency();
+    return n == 0 ? 1 : static_cast<int>(n);
+}
+
+template <typename F>
+void parallel_for(long n, int n_threads, F&& fn) {
+    n_threads = hardware_threads(n_threads);
+    if (n_threads <= 1 || n < 2) {
+        for (long i = 0; i < n; ++i) fn(i);
+        return;
+    }
+    std::atomic<long> next(0);
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        threads.emplace_back([&] {
+            for (;;) {
+                long i = next.fetch_add(1);
+                if (i >= n) return;
+                fn(i);
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decompress n qCompress-framed chunks (4-byte BE uncompressed size + zlib
+// stream) into caller-allocated buffers. dst_lens[i] must equal the framed
+// size. Returns 0 on success, or 1-based index of the first failing chunk.
+int tsn_decompress_chunks(const uint8_t** srcs, const long* src_lens,
+                          uint8_t** dsts, const long* dst_lens, long n,
+                          int n_threads) {
+    std::atomic<long> failed(0);
+    parallel_for(n, n_threads, [&](long i) {
+        if (failed.load(std::memory_order_relaxed)) return;
+        if (src_lens[i] < 4) { failed.store(i + 1); return; }
+        uint32_t expected = read_be32(srcs[i]);
+        if (static_cast<long>(expected) != dst_lens[i]) { failed.store(i + 1); return; }
+        uLongf out_len = static_cast<uLongf>(dst_lens[i]);
+        int rc = uncompress(dsts[i], &out_len, srcs[i] + 4,
+                            static_cast<uLong>(src_lens[i] - 4));
+        if (rc != Z_OK || static_cast<long>(out_len) != dst_lens[i]) {
+            failed.store(i + 1);
+        }
+    });
+    return static_cast<int>(failed.load());
+}
+
+// Parse a stream of Qt writeString records (uint32 BE length INCLUDING a
+// trailing NUL, then bytes, then NUL; 0xFFFFFFFF = null string -> empty).
+// Writes (start, end) byte offsets of each string's payload into offsets
+// (2 entries per string). Returns the number of strings, or -1 on malformed
+// input, or -2 if max_strings would be exceeded.
+long tsn_parse_string_records(const uint8_t* buf, long len, int64_t* offsets,
+                              long max_strings) {
+    long pos = 0, count = 0;
+    while (pos < len) {
+        if (pos + 4 > len) return -1;
+        uint32_t rec = read_be32(buf + pos);
+        pos += 4;
+        if (count >= max_strings) return -2;
+        if (rec == 0xFFFFFFFFu || rec == 0) {  // null -> empty string
+            offsets[2 * count] = pos;
+            offsets[2 * count + 1] = pos;
+            ++count;
+            continue;
+        }
+        if (pos + static_cast<long>(rec) > len) return -1;
+        if (buf[pos + rec - 1] != 0) return -1;  // must be NUL-terminated
+        offsets[2 * count] = pos;
+        offsets[2 * count + 1] = pos + rec - 1;
+        ++count;
+        pos += rec;
+    }
+    return count;
+}
+
+// Per-row popcount of packed fingerprints: words is uint32[n_rows][w].
+void tsn_popcount_rows(const uint32_t* words, long n_rows, int w,
+                       int32_t* out, int n_threads) {
+    const int w64 = w / 2;
+    parallel_for(n_rows, n_threads, [&](long r) {
+        const uint32_t* row = words + r * w;
+        int32_t acc = 0;
+        if (w64 * 2 == w) {
+            const uint64_t* row64 = reinterpret_cast<const uint64_t*>(row);
+            for (int i = 0; i < w64; ++i) acc += __builtin_popcountll(row64[i]);
+        } else {
+            for (int i = 0; i < w; ++i) acc += __builtin_popcount(row[i]);
+        }
+        out[r] = acc;
+    });
+}
+
+// OR-fold packed rows by fold (must divide w): out is uint32[n_rows][w/fold].
+void tsn_fold_rows(const uint32_t* words, long n_rows, int w, int fold,
+                   uint32_t* out, int n_threads) {
+    const int wf = w / fold;
+    parallel_for(n_rows, n_threads, [&](long r) {
+        const uint32_t* row = words + r * w;
+        uint32_t* dst = out + r * wf;
+        for (int j = 0; j < wf; ++j) {
+            uint32_t acc = 0;
+            for (int g = 0; g < fold; ++g) acc |= row[g * wf + j];
+            dst[j] = acc;
+        }
+    });
+}
+
+// Transpose row-major packed rows to planar layout: uint32[n][w] -> [w][n_out]
+// (n_out >= n; the tail columns are zero-filled padding).
+void tsn_transpose_planar(const uint32_t* words, long n, int w, long n_out,
+                          uint32_t* out, int n_threads) {
+    // tile for cache friendliness
+    const long TILE = 512;
+    long n_tiles = (n + TILE - 1) / TILE;
+    parallel_for(n_tiles, n_threads, [&](long t) {
+        long r0 = t * TILE;
+        long r1 = r0 + TILE < n ? r0 + TILE : n;
+        for (int c = 0; c < w; ++c) {
+            uint32_t* dst = out + static_cast<long>(c) * n_out;
+            for (long r = r0; r < r1; ++r) dst[r] = words[r * w + c];
+        }
+    });
+    // zero the padding tail once (single thread; it's small)
+    for (int c = 0; c < w; ++c) {
+        uint32_t* dst = out + static_cast<long>(c) * n_out;
+        std::memset(dst + n, 0, sizeof(uint32_t) * (n_out - n));
+    }
+}
+
+// Exact Tanimoto/Tversky re-scoring of candidate rows against one query
+// (the folded-scan recovery path). rows: indices into words[n][w].
+void tsn_rescore(const uint32_t* words, int w, const int64_t* rows,
+                 long n_rows, const uint32_t* query, int query_pop,
+                 double alpha, double beta, int tversky, float* out_scores) {
+    for (long i = 0; i < n_rows; ++i) {
+        const uint32_t* row = words + rows[i] * w;
+        int common = 0, rpop = 0;
+        for (int j = 0; j < w; ++j) {
+            common += __builtin_popcount(row[j] & query[j]);
+            rpop += __builtin_popcount(row[j]);
+        }
+        double denom;
+        if (tversky) {
+            denom = alpha * (query_pop - common) + beta * (rpop - common) + common;
+        } else {
+            denom = double(query_pop) + double(rpop) - double(common);
+        }
+        out_scores[i] = denom > 0 ? static_cast<float>(common / denom) : 0.0f;
+    }
+}
+
+int tsn_version() { return 1; }
+
+}  // extern "C"
