@@ -25,6 +25,15 @@ REFERENCE_FPS_PER_GPU = 1.25e9  # BASELINE.md derived figure
 
 def main():
     import jax
+
+    # persistent compile cache: the axon remote-compile path costs minutes per
+    # program; repeated bench runs should pay it once
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -49,19 +49,24 @@ class DatabaseRegistry:
         fold_factor: Optional[int] = None,
         cpu_rescore: bool = True,
     ) -> "DatabaseRegistry":
-        """Load ``.fsim`` files; database names are file basenames
-        (reference ``gpusim.cpp:114-116``).
+        """Load ``.fsim`` files or native ``.tfsim`` directories; database
+        names are file basenames (reference ``gpusim.cpp:114-116``).
 
         ``device_bitcount`` mirrors ``--gpu_bitcount``: an upper bound on the
         on-device fingerprint width. It errors if the data can't fit at that
         width's implied fold (reference ``gpusim.cpp:144-151``).
         """
+        from ..utils.tfsim import load_any
+
         reg = cls(mesh=mesh)
         datas: list[tuple[str, FingerprintData]] = []
         for p in paths:
-            name = os.path.basename(str(p)).rsplit(".fsim", 1)[0]
+            name = os.path.basename(str(p).rstrip("/"))
+            for suffix in (".fsim", ".tfsim"):
+                if name.endswith(suffix):
+                    name = name[: -len(suffix)]
             t0 = time.monotonic()
-            data = read_fsim(p)
+            data = load_any(p)
             log.info(
                 "loaded %s: %d compounds, %d bits, dbkey=%r (%.2fs)",
                 name, data.count, data.bitcount, data.dbkey,

@@ -13,8 +13,10 @@ Data layout: fingerprints are stored **planar** — ``uint32[W, N]`` (word-plane
 major) rather than row-major ``[N, W]`` — so the scan's element-wise
 AND+popcount runs across the 128-lane axis with full utilization and the
 reduction over the W=32 word planes is a cheap cross-sublane accumulation.
-Within a shard the scan runs chunk-by-chunk under ``lax.map`` with a running
-top-k, so full per-query score vectors are never materialized in HBM.
+Within a shard the scan streams chunk-by-chunk under ``lax.map`` and top-k
+selection is the two-phase block scheme in :func:`_local_scan_topk` — full
+per-query score vectors are never materialized in HBM and no TopK pass runs
+over the whole library.
 """
 
 from __future__ import annotations
@@ -39,6 +41,9 @@ except ImportError:  # pragma: no cover
 # Columns per lax.map step: 32 word-planes x 64Ki cols x 4 B = 8 MiB of
 # fingerprint data per chunk; per-query score slab B x 64Ki x 4 B stays small.
 DEFAULT_CHUNK_COLS = 65536
+# Two-phase top-k granularity: candidate chunks are re-scored in blocks of
+# this many columns (256 KiB of packed data each).
+SELECT_BLOCK_COLS = 2048
 NEG_INF = jnp.float32(-jnp.inf)
 
 
@@ -175,50 +180,130 @@ def _local_scan_topk(
     similarity: str,
     axis: str,
 ):
-    """Per-shard scan + running top-k; returns global-index candidates."""
+    """Per-shard scan + exact top-k via two-phase block selection.
+
+    Phase 1 streams every column once, producing only per-block maxima and
+    cutoff-survivor counts (a pure fused reduction — no score vector ever
+    reaches HBM and no TopK pass touches the full library). Phase 2 re-scores
+    just the top-k *blocks* per query and runs an exact top-k there.
+
+    Exactness (incl. lowest-index tie-breaks): if an element e of the true
+    top-k lived in an unselected block, each of the k selected blocks has
+    (max, idx) ordered above e's block, so each contributes an element
+    outranking e — k of them — contradiction. Replaces the reference's full
+    N·log N ``thrust::sort_by_key`` (``fingerprintdb_cuda.cu:280-282``).
+    """
     w, n_shard = db.shape
     b = queries.shape[0]
     shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard
     n_chunks = n_shard // chunk
-    kc = min(k, chunk)
 
-    def masked_scores(cols, col_pops, base):
+    block = SELECT_BLOCK_COLS if chunk % SELECT_BLOCK_COLS == 0 else chunk
+    n_blocks = n_shard // block
+    blocks_per_chunk = chunk // block
+    k_blocks = min(k, n_blocks)
+
+    def masked_scores(cols, col_pops, base, width):
         scores = _score_columns(
             cols, col_pops, queries, query_pops, similarity, alpha, beta
         )
-        local_idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        local_idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
         valid = (shard_offset + local_idx) < n_valid
         return jnp.where(valid, scores, NEG_INF)
 
-    if n_chunks == 1:
-        scores = masked_scores(db, pops, 0)
-        vals, idx = jax.lax.top_k(scores, kc)
-        idx = idx.astype(jnp.int32)
-        cnt = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
-    else:
-        def chunk_fn(ci):
-            base = ci * chunk
-            cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
-            col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
-            scores = masked_scores(cols, col_pops, base)
-            v, i = jax.lax.top_k(scores, kc)
-            c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
-            return v, i.astype(jnp.int32) + base, c
+    # ---- small shard: single full pass with a direct top-k ----------------
+    if n_blocks <= k_blocks or n_shard <= 2 * chunk:
+        kc = min(k, n_shard)
+        if n_chunks == 1:
+            scores = masked_scores(db, pops, 0, n_shard)
+            vals, idx = jax.lax.top_k(scores, kc)
+            idx = idx.astype(jnp.int32)
+            cnt = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+        else:
+            kcc = min(k, chunk)
 
-        vs, idxs, cnts = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
-        flat_vals = jnp.moveaxis(vs, 0, 1).reshape(b, n_chunks * kc)
-        flat_idx = jnp.moveaxis(idxs, 0, 1).reshape(b, n_chunks * kc)
-        take = min(k, n_chunks * kc)
-        vals, pos = jax.lax.top_k(flat_vals, take)
-        idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
+            def chunk_fn(ci):
+                base = ci * chunk
+                cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
+                col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
+                scores = masked_scores(cols, col_pops, base, chunk)
+                v, i = jax.lax.top_k(scores, kcc)
+                c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+                return v, i.astype(jnp.int32) + base, c
+
+            vs, idxs, cnts = jax.lax.map(
+                chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            )
+            flat_vals = jnp.moveaxis(vs, 0, 1).reshape(b, n_chunks * kcc)
+            flat_idx = jnp.moveaxis(idxs, 0, 1).reshape(b, n_chunks * kcc)
+            take = min(k, n_chunks * kcc)
+            vals, pos = jax.lax.top_k(flat_vals, take)
+            idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
+            cnt = cnts.sum(axis=0)
+        vals, idx = _pad_to_k(vals, idx, k, shard_offset)
+        return vals, idx, cnt
+
+    # ---- phase 1: per-block maxima + cutoff counts, streamed --------------
+    def phase1_fn(ci):
+        base = ci * chunk
+        cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
+        col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
+        scores = masked_scores(cols, col_pops, base, chunk)
+        bmax = scores.reshape(b, blocks_per_chunk, block).max(axis=-1)
+        c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+        return bmax, c
+
+    if n_chunks == 1:
+        block_max, cnt = phase1_fn(0)
+    else:
+        bmaxs, cnts = jax.lax.map(phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+        block_max = jnp.moveaxis(bmaxs, 0, 1).reshape(b, n_blocks)
         cnt = cnts.sum(axis=0)
 
+    # ---- select candidate blocks (ascending order => index tie-breaks) ----
+    _, sel = jax.lax.top_k(block_max, k_blocks)  # (B, k_blocks)
+    sel = jnp.sort(sel.astype(jnp.int32), axis=-1)
+
+    # ---- phase 2: re-score selected blocks, exact top-k -------------------
+    # Candidate blocks are pulled with dynamic_slice from the ORIGINAL planar
+    # array — a take/reshape would force XLA to materialize a full re-tiled
+    # copy of the library (observed as an 8 GiB HLO temp).
+    take = min(k, k_blocks * block)
+
+    def phase2_fn(args):
+        q, qp, qsel = args  # (W,), (), (k_blocks,)
+
+        def block_scores(bi):
+            base = bi * block
+            cols = jax.lax.dynamic_slice(db, (0, base), (w, block))
+            col_pops = jax.lax.dynamic_slice(pops, (base,), (block,))
+            inter = jnp.bitwise_and(cols, q[:, None])
+            common = jnp.sum(
+                jax.lax.population_count(inter).astype(jnp.int32), axis=0
+            )  # (block,)
+            s = similarity_from_counts(
+                common, col_pops, qp, similarity, alpha, beta
+            )
+            gidx = base + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+            return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
+
+        scores = jax.lax.map(block_scores, qsel)  # (k_blocks, block)
+        v, p = jax.lax.top_k(scores.reshape(-1), take)
+        p = p.astype(jnp.int32)
+        gi = qsel[p // block] * block + p % block
+        return v, gi
+
+    vals, idx = jax.lax.map(phase2_fn, (queries, query_pops, sel))
+    vals, idx = _pad_to_k(vals, idx, k, shard_offset)
+    return vals, idx, cnt
+
+
+def _pad_to_k(vals, idx, k, shard_offset):
     if vals.shape[-1] < k:  # tiny shard: pad candidates so merge shapes agree
         pad = k - vals.shape[-1]
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-
-    return vals, idx + shard_offset, cnt
+    return vals, idx + shard_offset
 
 
 def build_search_fn(

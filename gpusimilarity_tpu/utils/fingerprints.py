@@ -80,3 +80,21 @@ def smiles_to_query_words(
         smiles, trust_smiles=trust_smiles, bitcount=bitcount
     )
     return fingerprint_bin_to_words(fp, bitcount), canon.decode("utf-8")
+
+
+def smiles_to_image_file(smiles: str, path: str) -> None:
+    """Render a 2-D depiction PNG (reference ``gpusim_utils.py:69-71``).
+
+    Depiction requires RDKit; the built-in parser has no coordinate
+    generation, so this raises a clear error when RDKit is absent.
+    """
+    if not HAVE_RDKIT:
+        raise FingerprintError(
+            "molecule depiction requires RDKit, which is not installed"
+        )
+    from rdkit.Chem import Draw  # type: ignore
+
+    mol = Chem.MolFromSmiles(smiles)
+    if mol is None:
+        raise FingerprintError("Bad structure")
+    Draw.MolToFile(mol, path)

@@ -1,0 +1,83 @@
+"""Tests for the native .tfsim format and format conversion."""
+
+import numpy as np
+import pytest
+
+from gpusimilarity_tpu.utils.fsim import read_fsim, write_fsim
+from gpusimilarity_tpu.utils.strings import StringTable
+from gpusimilarity_tpu.utils.tfsim import (
+    convert,
+    is_native,
+    load_any,
+    load_native,
+    save_native,
+)
+
+from conftest import random_fingerprint_data
+
+
+class TestNativeFormat:
+    def test_roundtrip(self, tmp_path, rng):
+        data = random_fingerprint_data(rng, count=123, dbkey="nat")
+        path = tmp_path / "db.tfsim"
+        save_native(path, data)
+        assert is_native(path)
+        back = load_native(path)
+        assert back.dbkey == "nat" and back.count == 123
+        np.testing.assert_array_equal(
+            np.asarray(back.fingerprints), data.fingerprints
+        )
+        assert isinstance(back.smiles, StringTable)
+        assert list(back.smiles) == data.smiles
+        assert list(back.ids) == data.ids
+
+    def test_mmap_load(self, tmp_path, rng):
+        data = random_fingerprint_data(rng, count=10)
+        save_native(tmp_path / "m.tfsim", data)
+        back = load_native(tmp_path / "m.tfsim", mmap=True)
+        assert isinstance(back.fingerprints, np.memmap)
+        assert back.smiles[0] == data.smiles[0]
+
+    def test_no_overwrite(self, tmp_path, rng):
+        data = random_fingerprint_data(rng, count=5)
+        save_native(tmp_path / "x.tfsim", data)
+        with pytest.raises(FileExistsError):
+            save_native(tmp_path / "x.tfsim", data)
+
+    def test_convert_both_ways(self, tmp_path, rng):
+        data = random_fingerprint_data(rng, count=42, dbkey="conv")
+        write_fsim(tmp_path / "a.fsim", data)
+        convert(tmp_path / "a.fsim", tmp_path / "a.tfsim")
+        convert(tmp_path / "a.tfsim", tmp_path / "b.fsim")
+        back = read_fsim(tmp_path / "b.fsim")
+        assert back.dbkey == "conv"
+        np.testing.assert_array_equal(
+            np.asarray(back.fingerprints), data.fingerprints
+        )
+        assert back.ids == data.ids
+
+    def test_load_any(self, tmp_path, rng):
+        data = random_fingerprint_data(rng, count=7)
+        write_fsim(tmp_path / "f.fsim", data)
+        save_native(tmp_path / "n.tfsim", data)
+        assert load_any(tmp_path / "f.fsim").count == 7
+        assert load_any(tmp_path / "n.tfsim").count == 7
+
+    def test_registry_loads_native(self, tmp_path, rng):
+        from gpusimilarity_tpu.models import DatabaseRegistry
+
+        data = random_fingerprint_data(rng, count=30)
+        save_native(tmp_path / "natdb.tfsim", data)
+        reg = DatabaseRegistry.from_fsim_files([str(tmp_path / "natdb.tfsim")])
+        assert reg.names() == ["natdb"]
+        q = data.packed_words()[2]
+        r = reg.search_databases(["natdb"], [""], q, k=3)
+        assert r.scores[0] == 1.0
+
+    def test_convertdb_cli(self, tmp_path, rng):
+        from gpusimilarity_tpu.cli import convertdb
+
+        data = random_fingerprint_data(rng, count=9, dbkey="cli")
+        write_fsim(tmp_path / "c.fsim", data)
+        convertdb.main([str(tmp_path / "c.fsim"), str(tmp_path / "c.tfsim")])
+        assert load_native(tmp_path / "c.tfsim").dbkey == "cli"
