@@ -47,6 +47,8 @@ def main():
     k = int(os.environ.get("TPUSIM_BENCH_K", 128))
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
+    mode = os.environ.get("TPUSIM_BENCH_MODE", "dense")
+    qpop = int(os.environ.get("TPUSIM_BENCH_QPOP", 50))  # typical Morgan density
     w = 32  # 1024-bit fingerprints
 
     devices = jax.devices()
@@ -62,35 +64,85 @@ def main():
     words_sharding = NamedSharding(mesh, P(None, "shards"))
     pops_sharding = NamedSharding(mesh, P("shards"))
 
-    @jax.jit
-    def make_library(key):
-        words = jax.random.bits(key, (w, n_padded), dtype=jnp.uint32)
-        words = jax.lax.with_sharding_constraint(words, words_sharding)
-        pops = jnp.sum(
-            jax.lax.population_count(words).astype(jnp.int32), axis=0
-        )
-        pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
-        return words, pops
-
-    t0 = time.monotonic()
-    words, pops = make_library(jax.random.key(0))
-    words.block_until_ready()
-    gen_s = time.monotonic() - t0
-
-    store = build_store_from_device(
-        words, pops, n_valid=n_rows, mesh=mesh, chunk_cols=chunk
-    )
-    search = build_search_fn(store, k=k, similarity="tanimoto", batch=batch)
-
     rng = np.random.default_rng(1)
-    queries = rng.integers(0, 2**32, (batch, w), dtype=np.uint32)
-    qpops = np.array(
-        [bin(int(x)).count("1") for x in queries.reshape(-1)], dtype=np.int64
-    ).reshape(batch, w).sum(axis=1).astype(np.int32)
     cutoffs = np.zeros(batch, np.float32)
 
+    if mode == "bitplane":
+        from gpusimilarity_tpu.ops.bitplane import PLANE_BUCKETS
+        from gpusimilarity_tpu.parallel.sharded import (
+            BitplaneStore,
+            build_bitplane_search_fn,
+        )
+
+        bitcount = w * 32
+        m_padded = n_padded // 32
+        planes_sharding = NamedSharding(mesh, P(None, "shards"))
+
+        @jax.jit
+        def make_planes(key):
+            planes = jax.random.bits(key, (bitcount + 1, m_padded), dtype=jnp.uint32)
+            planes = planes.at[bitcount].set(0)  # sentinel zero plane
+            planes = jax.lax.with_sharding_constraint(planes, planes_sharding)
+
+            def acc(p, tot):
+                bits = (planes[p][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+                return tot + bits.astype(jnp.int32)
+
+            pops = jax.lax.fori_loop(
+                0, bitcount, acc, jnp.zeros((m_padded, 32), jnp.int32)
+            ).reshape(n_padded)
+            pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
+            return planes, pops
+
+        t0 = time.monotonic()
+        planes, pops = make_planes(jax.random.key(0))
+        planes.block_until_ready()
+        gen_s = time.monotonic() - t0
+
+        store = BitplaneStore(
+            mesh=mesh, axis="shards", planes=planes, popcounts=pops,
+            n_valid=n_rows, chunk_cols=min(1 << 18, chunk), bitcount=bitcount,
+        )
+        bucket = next(p for p in PLANE_BUCKETS if p >= qpop)
+        search = build_bitplane_search_fn(
+            store, k=k, similarity="tanimoto", batch=batch, plane_bucket=bucket
+        )
+        plane_idx = np.full((batch, bucket), bitcount, dtype=np.int32)
+        for bq in range(batch):
+            plane_idx[bq, :qpop] = np.sort(
+                rng.choice(bitcount, size=qpop, replace=False)
+            )
+        query_arg = jnp.asarray(plane_idx)
+        qpops = np.full(batch, qpop, np.int32)
+    else:
+        @jax.jit
+        def make_library(key):
+            words = jax.random.bits(key, (w, n_padded), dtype=jnp.uint32)
+            words = jax.lax.with_sharding_constraint(words, words_sharding)
+            pops = jnp.sum(
+                jax.lax.population_count(words).astype(jnp.int32), axis=0
+            )
+            pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
+            return words, pops
+
+        t0 = time.monotonic()
+        words, pops = make_library(jax.random.key(0))
+        words.block_until_ready()
+        gen_s = time.monotonic() - t0
+
+        store = build_store_from_device(
+            words, pops, n_valid=n_rows, mesh=mesh, chunk_cols=chunk
+        )
+        search = build_search_fn(store, k=k, similarity="tanimoto", batch=batch)
+
+        queries = rng.integers(0, 2**32, (batch, w), dtype=np.uint32)
+        qpops = np.array(
+            [bin(int(x)).count("1") for x in queries.reshape(-1)], dtype=np.int64
+        ).reshape(batch, w).sum(axis=1).astype(np.int32)
+        query_arg = jnp.asarray(queries)
+
     args = (
-        jnp.asarray(queries),
+        query_arg,
         jnp.asarray(qpops),
         jnp.asarray(cutoffs),
         jnp.float32(1.0),
@@ -124,6 +176,7 @@ def main():
                 "batch": batch,
                 "k": k,
                 "chips": n_shards,
+                "mode": mode,
                 "min_latency_ms": round(min(times) * 1e3, 3),
                 "compile_plus_first_run_s": round(compile_s, 2),
                 "library_gen_s": round(gen_s, 2),

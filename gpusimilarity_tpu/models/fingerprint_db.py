@@ -52,10 +52,18 @@ class FingerprintDB:
         data: FingerprintData,
         mesh=None,
         fold_factor: int | str = 1,
-        chunk_cols: int = sharded.DEFAULT_CHUNK_COLS,
+        chunk_cols: int | None = None,
         keep_full_on_host: bool = True,
+        scan_mode: str = "dense",
     ):
+        """``scan_mode``: ``"dense"`` scans every packed word per query (the
+        word-planar kernel); ``"bitplane"`` stores the library bit-transposed
+        and reads only the query's set-bit planes — much faster for sparse
+        fingerprints like Morgan (see ``ops/bitplane.py``)."""
         data.validate()
+        if scan_mode not in ("dense", "bitplane"):
+            raise ValueError(f"unknown scan_mode {scan_mode!r}")
+        self.scan_mode = scan_mode
         self.dbkey = data.dbkey
         self.bitcount = data.bitcount
         self._smiles = data.smiles
@@ -73,9 +81,18 @@ class FingerprintDB:
 
         device_rows = fold_ops.fold_words(full, fold_factor)
         self._mesh = mesh if mesh is not None else make_mesh()
-        self._store = sharded.build_store(
-            device_rows, mesh=self._mesh, chunk_cols=chunk_cols
-        )
+        if scan_mode == "bitplane":
+            self._store = sharded.build_bitplane_store(
+                device_rows,
+                mesh=self._mesh,
+                chunk_cols=chunk_cols or sharded.BITPLANE_CHUNK_COLS,
+            )
+        else:
+            self._store = sharded.build_store(
+                device_rows,
+                mesh=self._mesh,
+                chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+            )
         self._search_fns: dict = {}
 
     # ------------------------------------------------------------------ info
@@ -103,11 +120,20 @@ class FingerprintDB:
 
     # ---------------------------------------------------------------- search
 
-    def _get_search_fn(self, k_fetch: int, batch: int, similarity: str):
-        key = (k_fetch, batch, similarity)
+    def _get_search_fn(
+        self, k_fetch: int, batch: int, similarity: str, plane_bucket: int = 0
+    ):
+        key = (k_fetch, batch, similarity, plane_bucket)
         fn = self._search_fns.get(key)
         if fn is None:
-            fn = sharded.build_search_fn(self._store, k_fetch, similarity, batch)
+            if self.scan_mode == "bitplane":
+                fn = sharded.build_bitplane_search_fn(
+                    self._store, k_fetch, similarity, batch, plane_bucket
+                )
+            else:
+                fn = sharded.build_search_fn(
+                    self._store, k_fetch, similarity, batch
+                )
             self._search_fns[key] = fn
         return fn
 
@@ -175,9 +201,19 @@ class FingerprintDB:
         folded_q = fold_ops.fold_words(padded, self.fold_factor)
         folded_pops = popcount_rows_np(folded_q)
 
-        fn = self._get_search_fn(k_fetch, bucket, similarity)
+        if self.scan_mode == "bitplane":
+            from ..ops.bitplane import query_plane_indices
+
+            plane_idx, plane_bucket = query_plane_indices(
+                folded_q, self.device_bitcount
+            )
+            fn = self._get_search_fn(k_fetch, bucket, similarity, plane_bucket)
+            query_arg = jnp.asarray(plane_idx)
+        else:
+            fn = self._get_search_fn(k_fetch, bucket, similarity)
+            query_arg = jnp.asarray(folded_q)
         vals, idx, approx = fn(
-            jnp.asarray(folded_q),
+            query_arg,
             jnp.asarray(folded_pops),
             jnp.asarray(cut_padded),
             jnp.float32(alpha),

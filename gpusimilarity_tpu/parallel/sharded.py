@@ -154,6 +154,80 @@ def build_store_from_device(
     )
 
 
+@dataclass(frozen=True)
+class BitplaneStore:
+    """Bit-transposed fingerprints: one packed plane per bit position.
+
+    ``planes`` is ``uint32[bitcount + 1, n_cols / 32]`` (last row all-zero —
+    the sentinel that padded query plane lists point at), column-sharded over
+    the mesh. Same total bytes as the word layout; queries read only their
+    set-bit planes (see ``ops/bitplane.py``).
+    """
+
+    mesh: jax.sharding.Mesh
+    axis: str
+    planes: jax.Array  # uint32 (bitcount+1, n_padded // 32), P(None, axis)
+    popcounts: jax.Array  # int32 (n_padded,), P(axis)
+    n_valid: int
+    chunk_cols: int
+    bitcount: int
+
+    @property
+    def n_padded(self) -> int:
+        return self.planes.shape[1] * 32
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def nbytes(self) -> int:
+        return self.planes.size * 4
+
+
+# bitplane chunking: 256Ki columns = 8Ki words -> a 32 KiB window per plane
+BITPLANE_CHUNK_COLS = 1 << 18
+
+
+def build_bitplane_store(
+    packed_rows: np.ndarray,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = BITPLANE_CHUNK_COLS,
+) -> BitplaneStore:
+    """Upload packed ``uint32[N, W]`` rows as a sharded bitplane store."""
+    from ..ops.bitplane import build_bitplanes_np
+
+    n, w = packed_rows.shape
+    bitcount = w * 32
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+
+    per_shard = -(-max(n, 1) // n_shards)
+    chunk = min(chunk_cols, _round_up(per_shard, 2048))
+    per_shard = _round_up(per_shard, chunk)
+    n_padded = per_shard * n_shards
+
+    packed_bytes = np.ascontiguousarray(packed_rows).view(np.uint8)
+    planes = build_bitplanes_np(packed_bytes, n_padded)
+    planes = np.concatenate(
+        [planes, np.zeros((1, planes.shape[1]), np.uint32)], axis=0
+    )
+    pops = np.zeros(n_padded, dtype=np.int32)
+    pops[:n] = popcount_rows_np(packed_rows)
+
+    return BitplaneStore(
+        mesh=mesh,
+        axis=axis,
+        planes=jax.device_put(planes, NamedSharding(mesh, P(None, axis))),
+        popcounts=jax.device_put(pops, NamedSharding(mesh, P(axis))),
+        n_valid=n,
+        chunk_cols=chunk,
+        bitcount=bitcount,
+    )
+
+
 def _score_columns(cols, col_pops, queries, query_pops, similarity, alpha, beta):
     """Score a planar column block: ``(W, C) x (B, W) -> f32 (B, C)``."""
     inter = jnp.bitwise_and(cols[None, :, :], queries[:, :, None])  # (B, W, C)
@@ -369,4 +443,175 @@ def build_search_fn(
 
     # seal shapes: callers pass exactly (batch, W) queries
     del batch
+    return search
+
+def _bitplane_local_topk(
+    planes,  # uint32 (bitcount+1, M_shard)
+    pops,  # int32 (Ns,)
+    plane_idx,  # int32 (B, P) set-bit positions, sentinel == bitcount
+    query_pops,  # int32 (B,)
+    cutoff,  # f32 (B,)
+    alpha,
+    beta,
+    *,
+    k: int,
+    chunk_cols: int,
+    n_valid: int,
+    similarity: str,
+    axis: str,
+):
+    """Per-shard bit-sliced scan + two-phase exact top-k.
+
+    Phase 1 gathers only the query's set-bit plane windows (sparse traffic)
+    and sums them with a carry-save adder tree; selection and phase-2 rescans
+    mirror the dense kernel. See ``ops/bitplane.py`` for the layout.
+    """
+    from ..ops.bitplane import common_from_planes
+
+    n_planes, m_shard = planes.shape
+    n_shard_cols = m_shard * 32
+    b = plane_idx.shape[0]
+    shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard_cols
+
+    block = SELECT_BLOCK_COLS if chunk_cols % SELECT_BLOCK_COLS == 0 else chunk_cols
+    bw = block // 32
+    mc = chunk_cols // 32
+    n_chunks = n_shard_cols // chunk_cols
+    n_blocks = n_shard_cols // block
+    blocks_per_chunk = chunk_cols // block
+    k_blocks = min(k, n_blocks)
+
+    def window_scores(qi, base_words, width_words, width_cols):
+        """Scores of one query over a column window: f32 (width_cols,)."""
+
+        def slice_plane(pi):
+            return jax.lax.dynamic_slice(
+                planes, (pi, base_words), (1, width_words)
+            )[0]
+
+        gathered = jax.vmap(slice_plane)(plane_idx[qi])  # (P, width_words)
+        common = common_from_planes(gathered)  # int32 (width_cols,)
+        col_pops = jax.lax.dynamic_slice(
+            pops, (base_words * 32,), (width_cols,)
+        )
+        s = similarity_from_counts(
+            common, col_pops, query_pops[qi], similarity, alpha, beta
+        )
+        gidx = base_words * 32 + jax.lax.broadcasted_iota(
+            jnp.int32, (width_cols,), 0
+        )
+        return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
+
+    # ---- phase 1: per-block maxima + counts, only set-bit planes read -----
+    def phase1_fn(ci):
+        maxima, counts = [], []
+        for qi in range(b):
+            s = window_scores(qi, ci * mc, mc, chunk_cols)
+            maxima.append(s.reshape(blocks_per_chunk, block).max(axis=-1))
+            counts.append(
+                jnp.sum((s >= cutoff[qi]).astype(jnp.int32))
+            )
+        return jnp.stack(maxima), jnp.stack(counts)  # (B, bpc), (B,)
+
+    if n_chunks == 1:
+        block_max, cnt = phase1_fn(0)
+    else:
+        bmaxs, cnts = jax.lax.map(
+            phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        block_max = jnp.moveaxis(bmaxs, 0, 1).reshape(b, n_blocks)
+        cnt = cnts.sum(axis=0)
+
+    # ---- small shard: phase 1 covered everything worth a direct pass ------
+    if n_blocks <= k_blocks:
+        take = min(k, n_shard_cols)
+        vals_list, idx_list = [], []
+        for qi in range(b):
+            s = window_scores(qi, 0, m_shard, n_shard_cols)
+            v, i = jax.lax.top_k(s, take)
+            vals_list.append(v)
+            idx_list.append(i.astype(jnp.int32))
+        vals = jnp.stack(vals_list)
+        idx = jnp.stack(idx_list)
+        vals, idx = _pad_to_k(vals, idx, k, shard_offset)
+        return vals, idx, cnt
+
+    # ---- select candidate blocks, ascending for index tie-breaks ----------
+    _, sel = jax.lax.top_k(block_max, k_blocks)
+    sel = jnp.sort(sel.astype(jnp.int32), axis=-1)
+
+    # ---- phase 2: re-scan selected blocks ---------------------------------
+    take = min(k, k_blocks * block)
+    vals_list, idx_list = [], []
+    for qi in range(b):
+        def block_scores(bi, qi=qi):
+            return window_scores(qi, bi * bw, bw, block)
+
+        s = jax.lax.map(block_scores, sel[qi])  # (k_blocks, block)
+        v, p = jax.lax.top_k(s.reshape(-1), take)
+        p = p.astype(jnp.int32)
+        gi = sel[qi][p // block] * block + p % block
+        vals_list.append(v)
+        idx_list.append(gi)
+    vals = jnp.stack(vals_list)
+    idx = jnp.stack(idx_list)
+    vals, idx = _pad_to_k(vals, idx, k, shard_offset)
+    return vals, idx, cnt
+
+
+def build_bitplane_search_fn(
+    store: BitplaneStore,
+    k: int,
+    similarity: str,
+    batch: int,
+    plane_bucket: int,
+) -> Callable:
+    """Compile the sparse SPMD search: ``(plane_idx i32[B,P], qpops, cutoffs,
+    alpha, beta) -> (values, indices, approx)`` — same contract as
+    :func:`build_search_fn` but queries travel as padded set-bit lists."""
+    mesh, axis = store.mesh, store.axis
+    n_shard_cols = store.n_padded // store.n_shards
+    chunk_cols = min(store.chunk_cols, n_shard_cols)
+    k_local = min(k, n_shard_cols)
+
+    local = functools.partial(
+        _bitplane_local_topk,
+        k=k_local,
+        chunk_cols=chunk_cols,
+        n_valid=store.n_valid,
+        similarity=similarity,
+        axis=axis,
+    )
+
+    def spmd(planes, pops, plane_idx, query_pops, cutoff, alpha, beta):
+        vals, idx, cnt = local(
+            planes, pops, plane_idx, query_pops, cutoff, alpha, beta
+        )
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_idx = jax.lax.all_gather(idx, axis)
+        b = plane_idx.shape[0]
+        flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, -1)
+        flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(b, -1)
+        take = min(k, flat_vals.shape[-1])
+        top_vals, pos = jax.lax.top_k(flat_vals, take)
+        top_idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
+        approx = jax.lax.psum(cnt, axis)
+        return top_vals, top_idx, approx
+
+    mapped = _shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def search(plane_idx, query_pops, cutoff, alpha, beta):
+        return jitted(
+            store.planes, store.popcounts, plane_idx, query_pops, cutoff,
+            alpha, beta,
+        )
+
+    del batch, plane_bucket
     return search
