@@ -41,6 +41,14 @@ def parse_args(argv=None):
                         help="max queries coalesced into one scan")
     parser.add_argument("--batch_window_ms", default=2.0, type=float,
                         help="batching window in milliseconds")
+    parser.add_argument(
+        "--scan_mode", default="dense", choices=("dense", "bitplane"),
+        help="dense packed-word scan or bit-sliced sparse-query scan",
+    )
+    parser.add_argument(
+        "--jax_profiler_port", default=0, type=int,
+        help="start the JAX profiler server (TensorBoard-attachable) on this port",
+    )
     return parser.parse_args(argv)
 
 
@@ -56,6 +64,13 @@ def main(argv=None):
 
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
+    if args.jax_profiler_port:
+        # on-demand device profiling: point TensorBoard (or
+        # `jax.profiler.trace_function`) at this port to capture traces of
+        # live searches — the rebuild's answer to the reference's
+        # QElapsedTimer logging (gpusim.cpp:420-429), which we also keep as
+        # per-search latency log lines.
+        jax.profiler.start_server(args.jax_profiler_port)
 
     from ..models.registry import DatabaseRegistry
     from ..serve.server import SimilarityServer
@@ -64,6 +79,7 @@ def main(argv=None):
         args.dbnames,
         device_bitcount=args.device_bitcount,
         fold_factor=args.fold,
+        scan_mode=args.scan_mode,
     )
     server = SimilarityServer(
         registry,

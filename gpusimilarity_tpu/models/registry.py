@@ -47,7 +47,7 @@ class DatabaseRegistry:
         mesh=None,
         device_bitcount: int = 0,
         fold_factor: Optional[int] = None,
-        cpu_rescore: bool = True,
+        scan_mode: str = "dense",
     ) -> "DatabaseRegistry":
         """Load ``.fsim`` files or native ``.tfsim`` directories; database
         names are file basenames (reference ``gpusim.cpp:114-116``).
@@ -79,7 +79,7 @@ class DatabaseRegistry:
         )
         for name, data in datas:
             t0 = time.monotonic()
-            reg.add(name, data, fold_factor=fold)
+            reg.add(name, data, fold_factor=fold, scan_mode=scan_mode)
             log.info("uploaded %s to device mesh (%.2fs)", name, time.monotonic() - t0)
         return reg
 
@@ -107,8 +107,16 @@ class DatabaseRegistry:
             log.info("folding fingerprints by %d to fit device memory", fold)
         return fold
 
-    def add(self, name: str, data: FingerprintData, fold_factor: int | str = 1) -> None:
-        self._dbs[name] = FingerprintDB(data, mesh=self._mesh, fold_factor=fold_factor)
+    def add(
+        self,
+        name: str,
+        data: FingerprintData,
+        fold_factor: int | str = 1,
+        scan_mode: str = "dense",
+    ) -> None:
+        self._dbs[name] = FingerprintDB(
+            data, mesh=self._mesh, fold_factor=fold_factor, scan_mode=scan_mode
+        )
 
     # ----------------------------------------------------------------- access
 
