@@ -49,6 +49,11 @@ def parse_args(argv=None):
         "--jax_profiler_port", default=0, type=int,
         help="start the JAX profiler server (TensorBoard-attachable) on this port",
     )
+    parser.add_argument(
+        "--socket_name", default="",
+        help="also serve the reference's binary local-socket protocol on "
+        "$TMPDIR/<name> (the reference backend used 'gpusimilarity')",
+    )
     return parser.parse_args(argv)
 
 
@@ -88,6 +93,7 @@ def main(argv=None):
         debug_ui=args.http_interface,
         max_batch=args.max_batch,
         window_ms=args.batch_window_ms,
+        socket_name=args.socket_name or None,
     )
     print(
         f"tpusimilarity ready on {args.hostname}:{server.port} "

@@ -462,15 +462,18 @@ def _bitplane_local_topk(
 ):
     """Per-shard bit-sliced scan + two-phase exact top-k.
 
-    Phase 1 gathers only the query's set-bit plane windows (sparse traffic)
-    and sums them with a carry-save adder tree; selection and phase-2 rescans
-    mirror the dense kernel. See ``ops/bitplane.py`` for the layout.
+    Each query first compacts its ~P set-bit plane rows into a contiguous
+    ``(P, M)`` array with ONE row-gather (P large sequential DMAs — per-chunk
+    window gathers cost tens of thousands of tiny DMAs and measured slower
+    than the dense scan). Phase 1 then streams the compact array with a
+    carry-save adder tree; selection and phase-2 rescans mirror the dense
+    kernel. Queries run under an outer ``lax.map`` so only one compact array
+    is live at a time. See ``ops/bitplane.py`` for the layout.
     """
     from ..ops.bitplane import common_from_planes
 
     n_planes, m_shard = planes.shape
     n_shard_cols = m_shard * 32
-    b = plane_idx.shape[0]
     shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard_cols
 
     block = SELECT_BLOCK_COLS if chunk_cols % SELECT_BLOCK_COLS == 0 else chunk_cols
@@ -480,81 +483,64 @@ def _bitplane_local_topk(
     n_blocks = n_shard_cols // block
     blocks_per_chunk = chunk_cols // block
     k_blocks = min(k, n_blocks)
+    small = n_blocks <= k_blocks
+    take = min(k, n_shard_cols) if small else min(k, k_blocks * block)
 
-    def window_scores(qi, base_words, width_words, width_cols):
-        """Scores of one query over a column window: f32 (width_cols,)."""
+    def per_query(args):
+        qidx, qpop, qcut = args  # (P,), (), ()
+        compact = jnp.take(planes, qidx, axis=0)  # (P, M) one row-gather
 
-        def slice_plane(pi):
-            return jax.lax.dynamic_slice(
-                planes, (pi, base_words), (1, width_words)
-            )[0]
-
-        gathered = jax.vmap(slice_plane)(plane_idx[qi])  # (P, width_words)
-        common = common_from_planes(gathered)  # int32 (width_cols,)
-        col_pops = jax.lax.dynamic_slice(
-            pops, (base_words * 32,), (width_cols,)
-        )
-        s = similarity_from_counts(
-            common, col_pops, query_pops[qi], similarity, alpha, beta
-        )
-        gidx = base_words * 32 + jax.lax.broadcasted_iota(
-            jnp.int32, (width_cols,), 0
-        )
-        return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
-
-    # ---- phase 1: per-block maxima + counts, only set-bit planes read -----
-    def phase1_fn(ci):
-        maxima, counts = [], []
-        for qi in range(b):
-            s = window_scores(qi, ci * mc, mc, chunk_cols)
-            maxima.append(s.reshape(blocks_per_chunk, block).max(axis=-1))
-            counts.append(
-                jnp.sum((s >= cutoff[qi]).astype(jnp.int32))
+        def window_scores(base_words, width_words, width_cols):
+            window = jax.lax.dynamic_slice(
+                compact, (0, base_words), (compact.shape[0], width_words)
             )
-        return jnp.stack(maxima), jnp.stack(counts)  # (B, bpc), (B,)
+            common = common_from_planes(window)  # int32 (width_cols,)
+            col_pops = jax.lax.dynamic_slice(
+                pops, (base_words * 32,), (width_cols,)
+            )
+            s = similarity_from_counts(
+                common, col_pops, qpop, similarity, alpha, beta
+            )
+            gidx = base_words * 32 + jax.lax.broadcasted_iota(
+                jnp.int32, (width_cols,), 0
+            )
+            return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
 
-    if n_chunks == 1:
-        block_max, cnt = phase1_fn(0)
-    else:
-        bmaxs, cnts = jax.lax.map(
-            phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
-        )
-        block_max = jnp.moveaxis(bmaxs, 0, 1).reshape(b, n_blocks)
-        cnt = cnts.sum(axis=0)
+        # phase 1: per-block maxima + cutoff count, streamed
+        def phase1_fn(ci):
+            s = window_scores(ci * mc, mc, chunk_cols)
+            bmax = s.reshape(blocks_per_chunk, block).max(axis=-1)
+            return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
 
-    # ---- small shard: phase 1 covered everything worth a direct pass ------
-    if n_blocks <= k_blocks:
-        take = min(k, n_shard_cols)
-        vals_list, idx_list = [], []
-        for qi in range(b):
-            s = window_scores(qi, 0, m_shard, n_shard_cols)
+        if n_chunks == 1:
+            block_max, cnt_q = phase1_fn(0)
+        else:
+            bmaxs, cnts = jax.lax.map(
+                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            )
+            block_max = bmaxs.reshape(n_blocks)
+            cnt_q = cnts.sum()
+
+        if small:  # one direct pass over everything
+            s = window_scores(0, m_shard, n_shard_cols)
             v, i = jax.lax.top_k(s, take)
-            vals_list.append(v)
-            idx_list.append(i.astype(jnp.int32))
-        vals = jnp.stack(vals_list)
-        idx = jnp.stack(idx_list)
-        vals, idx = _pad_to_k(vals, idx, k, shard_offset)
-        return vals, idx, cnt
+            return v, i.astype(jnp.int32), cnt_q
 
-    # ---- select candidate blocks, ascending for index tie-breaks ----------
-    _, sel = jax.lax.top_k(block_max, k_blocks)
-    sel = jnp.sort(sel.astype(jnp.int32), axis=-1)
+        # select candidate blocks (ascending => lowest-index tie-breaks)
+        _, sel = jax.lax.top_k(block_max, k_blocks)
+        sel = jnp.sort(sel.astype(jnp.int32))
 
-    # ---- phase 2: re-scan selected blocks ---------------------------------
-    take = min(k, k_blocks * block)
-    vals_list, idx_list = [], []
-    for qi in range(b):
-        def block_scores(bi, qi=qi):
-            return window_scores(qi, bi * bw, bw, block)
+        # phase 2: re-scan selected blocks from the compact array
+        def block_scores(bi):
+            return window_scores(bi * bw, bw, block)
 
-        s = jax.lax.map(block_scores, sel[qi])  # (k_blocks, block)
+        s = jax.lax.map(block_scores, sel)  # (k_blocks, block)
         v, p = jax.lax.top_k(s.reshape(-1), take)
         p = p.astype(jnp.int32)
-        gi = sel[qi][p // block] * block + p % block
-        vals_list.append(v)
-        idx_list.append(gi)
-    vals = jnp.stack(vals_list)
-    idx = jnp.stack(idx_list)
+        gi = sel[p // block] * block + p % block
+        return v, gi, cnt_q
+
+    vals, idx, cnt = jax.lax.map(per_query, (plane_idx, query_pops, cutoff))
     vals, idx = _pad_to_k(vals, idx, k, shard_offset)
     return vals, idx, cnt
 

@@ -265,6 +265,7 @@ class SimilarityServer:
         debug_ui: bool = False,
         max_batch: int = 64,
         window_ms: float = 2.0,
+        socket_name: str | None = None,
     ):
         self.service = SearchService(registry, max_batch, window_ms)
         self.httpd = ThreadingHTTPServer(
@@ -272,6 +273,14 @@ class SimilarityServer:
         )
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
+        self.socket_server = None
+        if socket_name:
+            from .socket_server import SocketProtocolServer
+
+            self.socket_server = SocketProtocolServer(
+                self.service.searcher, socket_name=socket_name
+            )
+            self.socket_server.start_background()
 
     def serve_forever(self):
         log.info("serving on port %d", self.port)
@@ -284,6 +293,8 @@ class SimilarityServer:
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.socket_server:
+            self.socket_server.close()
         self.service.close()
         if self._thread:
             self._thread.join(timeout=5)
