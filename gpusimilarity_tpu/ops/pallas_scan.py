@@ -1,0 +1,145 @@
+"""Pallas TPU kernel for phase 1 of the dense scan.
+
+Fuses the whole per-chunk pipeline — AND + popcount over 32 packed word
+planes, Tanimoto/Tversky scoring, validity masking, per-block maxima, and
+cutoff-survivor counting — into one VMEM-resident kernel, with Pallas'
+automatic HBM→VMEM double-buffering streaming the library. Output is only
+``(B, n_blocks)`` maxima + ``(B, n_chunks)`` counts; scores never touch HBM.
+
+This is the hand-scheduled counterpart of the XLA path in
+``parallel/sharded._local_scan_topk`` (same math, same outputs — tested for
+exact equality); the engine picks it with ``use_pallas=True``. On CPU it runs
+in interpreter mode, so the test suite exercises it without a TPU.
+
+Rebuilds the hot loop of the reference's ``TanimotoFunctor``
+(``fingerprintdb_cuda.cu:76-104``) the TPU way: block-parallel over lanes
+instead of thread-per-fingerprint, with selection folded into the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import TANIMOTO, TVERSKY
+
+NEG_INF = float("-inf")  # plain float: a jnp scalar would be captured as a
+# constant inside the pallas kernel, which pallas_call rejects
+
+
+def _phase1_kernel(
+    off_ref,  # SMEM (1,): this shard's global column offset
+    db_ref,  # VMEM (W, C) uint32 — one chunk of packed word-planes
+    pops_ref,  # VMEM (C,) int32
+    q_ref,  # VMEM (B, W) uint32
+    qpops_ref,  # VMEM (B,) int32
+    cutoff_ref,  # VMEM (B,) f32
+    params_ref,  # SMEM (3,): alpha, beta, (unused)
+    bmax_ref,  # out VMEM (B, bpc) f32
+    cnt_ref,  # out VMEM (B, 1) i32
+    *,
+    n_valid: int,
+    block: int,
+    similarity: str,
+):
+    w, c = db_ref.shape
+    b = q_ref.shape[0]
+    bpc = c // block
+    chunk_base = pl.program_id(0) * c + off_ref[0]
+
+    col_idx = chunk_base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    valid = col_idx < n_valid
+
+    common = jnp.zeros((b, c), dtype=jnp.int32)
+    for wi in range(w):
+        plane = db_ref[wi, :][None, :]  # (1, C)
+        qw = q_ref[:, wi][:, None]  # (B, 1)
+        common = common + jax.lax.population_count(
+            jnp.bitwise_and(plane, qw)
+        ).astype(jnp.int32)
+
+    cf = common.astype(jnp.float32)
+    dpops = pops_ref[:][None, :].astype(jnp.float32)
+    qpops = qpops_ref[:][:, None].astype(jnp.float32)
+    if similarity == TANIMOTO:
+        denom = qpops + dpops - cf
+    else:  # TVERSKY
+        alpha = params_ref[0]
+        beta = params_ref[1]
+        denom = alpha * (qpops - cf) + beta * (dpops - cf) + cf
+    scores = jnp.where(denom > 0, cf / denom, 0.0)
+    scores = jnp.where((cf == denom) & (denom > 0), 1.0, scores)
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    cnt_ref[:, 0] = jnp.sum(
+        (scores >= cutoff_ref[:][:, None]).astype(jnp.int32), axis=-1
+    )
+    bmax_ref[:, :] = jnp.max(scores.reshape(b, bpc, block), axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "block", "n_valid", "similarity", "interpret"),
+)
+def pallas_phase1(
+    db,  # uint32 (W, Ns) planar packed words
+    pops,  # int32 (Ns,)
+    queries,  # uint32 (B, W)
+    query_pops,  # int32 (B,)
+    cutoffs,  # f32 (B,)
+    alpha,
+    beta,
+    shard_offset,  # i32 scalar: global column base of this shard
+    *,
+    chunk: int,
+    block: int,
+    n_valid: int,
+    similarity: str = TANIMOTO,
+    interpret: bool = False,
+):
+    """Returns (block_max f32[B, Ns/block], counts i32[B])."""
+    w, n_shard = db.shape
+    b = queries.shape[0]
+    if n_shard % chunk or chunk % block:
+        raise ValueError("chunk must divide the shard and block the chunk")
+    n_chunks = n_shard // chunk
+    bpc = chunk // block
+
+    off = jnp.reshape(shard_offset.astype(jnp.int32), (1,))
+    params = jnp.stack(
+        [jnp.float32(alpha), jnp.float32(beta), jnp.float32(0)]
+    )
+
+    kernel = functools.partial(
+        _phase1_kernel, n_valid=n_valid, block=block, similarity=similarity
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # shard offset
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((w, chunk), lambda i, off: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), lambda i, off: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # queries, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # query pops
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cutoffs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+        ],
+        out_specs=[
+            pl.BlockSpec((b, bpc), lambda i, off: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, off: (0, i), memory_space=pltpu.VMEM),
+        ],
+    )
+    bmax, cnts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_chunks * bpc), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_chunks), jnp.int32),
+        ],
+        interpret=interpret,
+    )(off, db, pops, queries, query_pops, cutoffs, params)
+    return bmax, cnts.sum(axis=-1)

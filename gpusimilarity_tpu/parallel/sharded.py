@@ -253,6 +253,7 @@ def _local_scan_topk(
     n_valid: int,
     similarity: str,
     axis: str,
+    use_pallas: bool = False,
 ):
     """Per-shard scan + exact top-k via two-phase block selection.
 
@@ -318,21 +319,32 @@ def _local_scan_topk(
         return vals, idx, cnt
 
     # ---- phase 1: per-block maxima + cutoff counts, streamed --------------
-    def phase1_fn(ci):
-        base = ci * chunk
-        cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
-        col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
-        scores = masked_scores(cols, col_pops, base, chunk)
-        bmax = scores.reshape(b, blocks_per_chunk, block).max(axis=-1)
-        c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
-        return bmax, c
+    if use_pallas:
+        from ..ops.pallas_scan import pallas_phase1
 
-    if n_chunks == 1:
-        block_max, cnt = phase1_fn(0)
+        block_max, cnt = pallas_phase1(
+            db, pops, queries, query_pops, cutoff, alpha, beta, shard_offset,
+            chunk=chunk, block=block, n_valid=n_valid, similarity=similarity,
+            interpret=(jax.default_backend() == "cpu"),
+        )
     else:
-        bmaxs, cnts = jax.lax.map(phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32))
-        block_max = jnp.moveaxis(bmaxs, 0, 1).reshape(b, n_blocks)
-        cnt = cnts.sum(axis=0)
+        def phase1_fn(ci):
+            base = ci * chunk
+            cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
+            col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
+            scores = masked_scores(cols, col_pops, base, chunk)
+            bmax = scores.reshape(b, blocks_per_chunk, block).max(axis=-1)
+            c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
+            return bmax, c
+
+        if n_chunks == 1:
+            block_max, cnt = phase1_fn(0)
+        else:
+            bmaxs, cnts = jax.lax.map(
+                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            )
+            block_max = jnp.moveaxis(bmaxs, 0, 1).reshape(b, n_blocks)
+            cnt = cnts.sum(axis=0)
 
     # ---- select candidate blocks (ascending order => index tie-breaks) ----
     _, sel = jax.lax.top_k(block_max, k_blocks)  # (B, k_blocks)
@@ -385,6 +397,7 @@ def build_search_fn(
     k: int,
     similarity: str,
     batch: int,
+    use_pallas: bool = False,
 ) -> Callable:
     """Compile an SPMD search: ``(queries, qpops, cutoffs, alpha, beta) ->
     (values f32[B,k], indices i32[B,k], approx i32[B])``.
@@ -407,6 +420,7 @@ def build_search_fn(
         n_valid=store.n_valid,
         similarity=similarity,
         axis=axis,
+        use_pallas=use_pallas,
     )
 
     def spmd(db, pops, queries, query_pops, cutoff, alpha, beta):

@@ -1,0 +1,113 @@
+"""Pallas phase-1 kernel: exact equality with the XLA reference path.
+
+Runs in interpreter mode on CPU (the reference's SKIP_CUDA analog); the same
+kernel compiles natively on TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpusimilarity_tpu.ops.pallas_scan import pallas_phase1
+from gpusimilarity_tpu.ops.scan import popcount_rows_np, scores_np
+
+
+def make_db(rng, n, density=0.1):
+    bits = rng.random((n, 1024)) < density
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view(np.uint32)
+
+
+def xla_reference(db_planar, pops, queries, qpops, cutoffs, n_valid, block, offset=0):
+    """Independent computation of block maxima + counts."""
+    words = np.ascontiguousarray(db_planar.T)  # (N, W)
+    scores = scores_np(words, queries)  # (B, N)
+    n = scores.shape[-1]
+    idx = offset + np.arange(n)
+    scores = np.where(idx < n_valid, scores, -np.inf)
+    bmax = scores.reshape(scores.shape[0], -1, block).max(axis=-1)
+    cnts = (scores >= cutoffs[:, None]).sum(axis=-1).astype(np.int32)
+    return bmax.astype(np.float32), cnts
+
+
+class TestPallasPhase1:
+    @pytest.mark.parametrize("b", [1, 4])
+    def test_matches_reference(self, rng, b):
+        n, chunk, block = 4096, 1024, 256
+        words = make_db(rng, n)
+        planar = np.ascontiguousarray(words.T)
+        pops = popcount_rows_np(words)
+        queries = words[:b]
+        qpops = pops[:b].copy()
+        cutoffs = np.linspace(0.0, 0.3, b, dtype=np.float32)
+
+        bmax, cnt = pallas_phase1(
+            jnp.asarray(planar),
+            jnp.asarray(pops),
+            jnp.asarray(queries),
+            jnp.asarray(qpops),
+            jnp.asarray(cutoffs),
+            jnp.float32(1.0),
+            jnp.float32(1.0),
+            jnp.int32(0),
+            chunk=chunk,
+            block=block,
+            n_valid=n,
+            interpret=True,
+        )
+        ref_bmax, ref_cnt = xla_reference(
+            planar, pops, queries, qpops, cutoffs, n, block
+        )
+        np.testing.assert_allclose(np.asarray(bmax), ref_bmax, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+
+    def test_padding_masked(self, rng):
+        n_valid, n_pad = 700, 1024
+        words = np.zeros((n_pad, 32), np.uint32)
+        words[:n_valid] = make_db(rng, n_valid)
+        planar = np.ascontiguousarray(words.T)
+        pops = popcount_rows_np(words)
+        q = words[:1]
+        bmax, cnt = pallas_phase1(
+            jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
+            jnp.asarray(pops[:1]), jnp.asarray(np.zeros(1, np.float32)),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
+            chunk=512, block=128, n_valid=n_valid, interpret=True,
+        )
+        # padded tail blocks are all -inf
+        assert np.asarray(bmax)[0, -2:].max() == -np.inf
+        assert int(cnt[0]) == n_valid  # cutoff 0 counts every valid column
+
+    def test_shard_offset_shifts_validity(self, rng):
+        words = make_db(rng, 512)
+        planar = np.ascontiguousarray(words.T)
+        pops = popcount_rows_np(words)
+        q = words[:1]
+        # offset 400 with n_valid 600: only first 200 columns valid
+        bmax, cnt = pallas_phase1(
+            jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
+            jnp.asarray(pops[:1]), jnp.asarray(np.zeros(1, np.float32)),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.int32(400),
+            chunk=512, block=128, n_valid=600, interpret=True,
+        )
+        assert int(cnt[0]) == 200
+        assert np.asarray(bmax)[0, 2:].max() == -np.inf
+
+    def test_tversky_mode(self, rng):
+        n = 1024
+        words = make_db(rng, n)
+        planar = np.ascontiguousarray(words.T)
+        pops = popcount_rows_np(words)
+        q = words[:2]
+        bmax, cnt = pallas_phase1(
+            jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
+            jnp.asarray(pops[:2]), jnp.asarray(np.zeros(2, np.float32)),
+            jnp.float32(0.3), jnp.float32(0.7), jnp.int32(0),
+            chunk=512, block=128, n_valid=n, similarity="tversky",
+            interpret=True,
+        )
+        ref = scores_np(words, q, similarity="tversky", alpha=0.3, beta=0.7)
+        ref_bmax = ref.reshape(2, -1, 128).max(axis=-1)
+        np.testing.assert_allclose(np.asarray(bmax), ref_bmax, rtol=1e-6)
