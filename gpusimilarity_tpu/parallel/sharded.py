@@ -158,15 +158,24 @@ def build_store_from_device(
 class BitplaneStore:
     """Bit-transposed fingerprints: one packed plane per bit position.
 
-    ``planes`` is ``uint32[bitcount + 1, n_cols / 32]`` (last row all-zero —
-    the sentinel that padded query plane lists point at), column-sharded over
-    the mesh. Same total bytes as the word layout; queries read only their
-    set-bit planes (see ``ops/bitplane.py``).
+    ``planes`` holds ``(bitcount + 1)`` planes (the extra all-zero plane is
+    the sentinel padded query plane lists point at), each split into 8
+    sub-rows so that reading one plane touches 8 *consecutive* sublanes —
+    full (8, 128) register tiles. Accessing a plane stored as a single row of
+    a 2-D array only uses 1/8 of every tile and measured ~8x below streaming
+    bandwidth; this layout fixes that.
+
+    Shape: ``uint32[(bitcount + 1) * 8, M8]`` where ``M8 = n_padded / 256``.
+    Row ``8p + r`` over a shard's column block holds words
+    ``[r * M8s, (r+1) * M8s)`` of plane ``p`` *of that shard* (shards own
+    contiguous global column ranges, exactly like the dense store). Same
+    total bytes as the word layout; a query reads only its set-bit planes
+    (see ``ops/bitplane.py``).
     """
 
     mesh: jax.sharding.Mesh
     axis: str
-    planes: jax.Array  # uint32 (bitcount+1, n_padded // 32), P(None, axis)
+    planes: jax.Array  # uint32 ((bitcount+1)*8, n_padded // 256), P(None, axis)
     popcounts: jax.Array  # int32 (n_padded,), P(axis)
     n_valid: int
     chunk_cols: int
@@ -174,7 +183,7 @@ class BitplaneStore:
 
     @property
     def n_padded(self) -> int:
-        return self.planes.shape[1] * 32
+        return self.planes.shape[1] * 256
 
     @property
     def n_shards(self) -> int:
@@ -185,8 +194,9 @@ class BitplaneStore:
         return self.planes.size * 4
 
 
-# bitplane chunking: 256Ki columns = 8Ki words -> a 32 KiB window per plane
-BITPLANE_CHUNK_COLS = 1 << 18
+# bitplane chunking: 2Mi columns -> a (8, 8192) = 256 KiB tile-aligned window
+# per plane; must stay a multiple of 8192 (= 256 columns per sub-word x 32)
+BITPLANE_CHUNK_COLS = 1 << 21
 
 
 def build_bitplane_store(
@@ -205,7 +215,7 @@ def build_bitplane_store(
     n_shards = mesh.shape[axis]
 
     per_shard = -(-max(n, 1) // n_shards)
-    chunk = min(chunk_cols, _round_up(per_shard, 2048))
+    chunk = min(chunk_cols, _round_up(per_shard, 8192))
     per_shard = _round_up(per_shard, chunk)
     n_padded = per_shard * n_shards
 
@@ -214,13 +224,25 @@ def build_bitplane_store(
     planes = np.concatenate(
         [planes, np.zeros((1, planes.shape[1]), np.uint32)], axis=0
     )
+    # Tile-aligned sub-row interleave: for shard s, plane p, sub-row r, the
+    # output row 8p+r's shard-s column block holds plane-p words
+    # [s*Ms + r*M8s, s*Ms + (r+1)*M8s).
+    ms = n_padded // 32 // n_shards
+    m8s = ms // 8
+    arranged = (
+        planes.reshape(bitcount + 1, n_shards, 8, m8s)
+        .transpose(0, 2, 1, 3)
+        .reshape((bitcount + 1) * 8, n_shards * m8s)
+    )
+    arranged = np.ascontiguousarray(arranged)
+
     pops = np.zeros(n_padded, dtype=np.int32)
     pops[:n] = popcount_rows_np(packed_rows)
 
     return BitplaneStore(
         mesh=mesh,
         axis=axis,
-        planes=jax.device_put(planes, NamedSharding(mesh, P(None, axis))),
+        planes=jax.device_put(arranged, NamedSharding(mesh, P(None, axis))),
         popcounts=jax.device_put(pops, NamedSharding(mesh, P(axis))),
         n_valid=n,
         chunk_cols=chunk,
@@ -476,54 +498,88 @@ def _bitplane_local_topk(
 ):
     """Per-shard bit-sliced scan + two-phase exact top-k.
 
-    Each query first compacts its ~P set-bit plane rows into a contiguous
-    ``(P, M)`` array with ONE row-gather (P large sequential DMAs — per-chunk
-    window gathers cost tens of thousands of tiny DMAs and measured slower
-    than the dense scan). Phase 1 then streams the compact array with a
-    carry-save adder tree; selection and phase-2 rescans mirror the dense
-    kernel. Queries run under an outer ``lax.map`` so only one compact array
-    is live at a time. See ``ops/bitplane.py`` for the layout.
+    Planes live in the tile-aligned sub-row layout (see
+    :class:`BitplaneStore`): a plane window is a ``(8, mc8)`` slice — full
+    register tiles, streamed at full DMA width (single-row windows measured
+    ~8x below bandwidth). Each window's columns are the 8 per-sub-row
+    segments ``32*(r*M8s + base8 + m) + bit`` of the shard's contiguous
+    global range. The carry-save adder tree sums a query's ~P set-bit plane
+    windows; selection and phase-2 rescans mirror the dense kernel.
+
+    Note on ties: a block here is a union of 8 column segments, and phase-2
+    flattening is sub-row-major, so *equal-scoring* boundary candidates may
+    resolve to a different (equally valid) compound than the dense kernel's
+    lowest-index rule. Scores returned are always the exact top-k multiset.
     """
-    from ..ops.bitplane import common_from_planes
+    from ..ops.bitplane import wallace_popcount_planes
 
-    n_planes, m_shard = planes.shape
-    n_shard_cols = m_shard * 32
+    n_plane_rows, m8_shard = planes.shape
+    n_shard_cols = m8_shard * 256
+    m8s = m8_shard  # per-shard sub-row width in words
     shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard_cols
+    p = plane_idx.shape[1]
 
-    block = SELECT_BLOCK_COLS if chunk_cols % SELECT_BLOCK_COLS == 0 else chunk_cols
-    bw = block // 32
-    mc = chunk_cols // 32
-    n_chunks = n_shard_cols // chunk_cols
-    n_blocks = n_shard_cols // block
-    blocks_per_chunk = chunk_cols // block
+    # chunking in sub-row words: one chunk covers 256*mc8 columns
+    mc8 = max(1, min(chunk_cols, n_shard_cols) // 256)
+    n_chunks = max(1, m8s // mc8)
+    mc8 = m8s // n_chunks
+    chunk_cols_eff = mc8 * 256
+
+    bw8 = max(1, SELECT_BLOCK_COLS // 256)  # sub-words per block
+    if mc8 % bw8:
+        bw8 = mc8
+    block_cols = bw8 * 256
+    seg = bw8 * 32  # flat length of one sub-row segment within a block
+    n_blocks = n_shard_cols // block_cols
+    blocks_per_chunk = chunk_cols_eff // block_cols
     k_blocks = min(k, n_blocks)
     small = n_blocks <= k_blocks
-    take = min(k, n_shard_cols) if small else min(k, k_blocks * block)
+    take = min(k, n_shard_cols) if small else min(k, k_blocks * block_cols)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def per_query(args):
         qidx, qpop, qcut = args  # (P,), (), ()
-        compact = jnp.take(planes, qidx, axis=0)  # (P, M) one row-gather
 
-        def window_scores(base_words, width_words, width_cols):
-            window = jax.lax.dynamic_slice(
-                compact, (0, base_words), (compact.shape[0], width_words)
-            )
-            common = common_from_planes(window)  # int32 (width_cols,)
-            col_pops = jax.lax.dynamic_slice(
-                pops, (base_words * 32,), (width_cols,)
-            )
+        def window_scores(base8, width8):
+            """Scores over a (8, width8) sub-word window: f32 (8, width8*32).
+
+            Row r of the result covers the shard-local columns
+            ``32*(r*M8s + base8) .. 32*(r*M8s + base8 + width8)``.
+            """
+            rows = [
+                jax.lax.dynamic_slice(planes, (8 * qidx[pi], base8), (8, width8))
+                for pi in range(p)
+            ]
+            counters = wallace_popcount_planes(rows)
+            common = jnp.zeros((8, width8 * 32), dtype=jnp.int32)
+            for j, c2 in enumerate(counters):
+                bits = (c2[..., None] >> shifts) & jnp.uint32(1)
+                common = common + (
+                    bits.astype(jnp.int32).reshape(8, width8 * 32) << j
+                )
+            # per-segment column pops + validity
+            col_pops = []
+            valid = []
+            for r in range(8):
+                start = 32 * (r * m8s + base8)
+                col_pops.append(
+                    jax.lax.dynamic_slice(pops, (start,), (width8 * 32,))
+                )
+                lidx = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (width8 * 32,), 0
+                )
+                valid.append(shard_offset + lidx < n_valid)
+            col_pops = jnp.stack(col_pops)  # (8, width8*32)
+            valid = jnp.stack(valid)
             s = similarity_from_counts(
                 common, col_pops, qpop, similarity, alpha, beta
             )
-            gidx = base_words * 32 + jax.lax.broadcasted_iota(
-                jnp.int32, (width_cols,), 0
-            )
-            return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
+            return jnp.where(valid, s, NEG_INF)
 
         # phase 1: per-block maxima + cutoff count, streamed
         def phase1_fn(ci):
-            s = window_scores(ci * mc, mc, chunk_cols)
-            bmax = s.reshape(blocks_per_chunk, block).max(axis=-1)
+            s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
+            bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
             return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
 
         if n_chunks == 1:
@@ -535,23 +591,34 @@ def _bitplane_local_topk(
             block_max = bmaxs.reshape(n_blocks)
             cnt_q = cnts.sum()
 
-        if small:  # one direct pass over everything
-            s = window_scores(0, m_shard, n_shard_cols)
-            v, i = jax.lax.top_k(s, take)
-            return v, i.astype(jnp.int32), cnt_q
+        def flat_to_local(base8_of_block, flat_pos):
+            """Flat (8, width*32) position -> shard-local column index."""
+            r = flat_pos // seg
+            rem = flat_pos % seg
+            return 32 * (r * m8s + base8_of_block) + rem
 
-        # select candidate blocks (ascending => lowest-index tie-breaks)
+        if small:  # one direct pass over everything
+            s = window_scores(0, m8s)  # (8, m8s*32)
+            v, pos = jax.lax.top_k(s.reshape(-1), take)
+            pos = pos.astype(jnp.int32)
+            r = pos // (m8s * 32)
+            rem = pos % (m8s * 32)
+            return v, 32 * (r * m8s) + rem, cnt_q
+
+        # select candidate blocks (ascending for deterministic ordering)
         _, sel = jax.lax.top_k(block_max, k_blocks)
         sel = jnp.sort(sel.astype(jnp.int32))
 
-        # phase 2: re-scan selected blocks from the compact array
+        # phase 2: re-scan selected blocks
         def block_scores(bi):
-            return window_scores(bi * bw, bw, block)
+            return window_scores(bi * bw8, bw8)  # (8, seg)
 
-        s = jax.lax.map(block_scores, sel)  # (k_blocks, block)
-        v, p = jax.lax.top_k(s.reshape(-1), take)
-        p = p.astype(jnp.int32)
-        gi = sel[p // block] * block + p % block
+        s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
+        v, pos = jax.lax.top_k(s.reshape(-1), take)
+        pos = pos.astype(jnp.int32)
+        which = pos // (8 * seg)
+        within = pos % (8 * seg)
+        gi = flat_to_local(sel[which] * bw8, within)
         return v, gi, cnt_q
 
     vals, idx, cnt = jax.lax.map(per_query, (plane_idx, query_pops, cutoff))
