@@ -75,22 +75,37 @@ def main():
         )
 
         bitcount = w * 32
-        m_padded = n_padded // 32
+        m8_padded = n_padded // 256  # tile-aligned sub-row layout
         planes_sharding = NamedSharding(mesh, P(None, "shards"))
 
         @jax.jit
         def make_planes(key):
-            planes = jax.random.bits(key, (bitcount + 1, m_padded), dtype=jnp.uint32)
-            planes = planes.at[bitcount].set(0)  # sentinel zero plane
+            planes = jax.random.bits(
+                key, ((bitcount + 1) * 8, m8_padded), dtype=jnp.uint32
+            )
+            # zero the sentinel plane's 8 sub-rows
+            planes = jax.lax.dynamic_update_slice(
+                planes, jnp.zeros((8, m8_padded), jnp.uint32), (bitcount * 8, 0)
+            )
             planes = jax.lax.with_sharding_constraint(planes, planes_sharding)
+            # popcounts: random planes are symmetric, so exact per-column pops
+            # can be computed plane-by-plane; a constant ~bitcount/2 would bias
+            # scores, so accumulate properly over the 1024 plane rows
+            m8s_pops = jnp.zeros((8, m8_padded, 32), jnp.int32)
 
-            def acc(p, tot):
-                bits = (planes[p][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+            def acc(pi, tot):
+                rows = jax.lax.dynamic_slice(
+                    planes, (8 * pi, 0), (8, m8_padded)
+                )
+                bits = (rows[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
                 return tot + bits.astype(jnp.int32)
 
-            pops = jax.lax.fori_loop(
-                0, bitcount, acc, jnp.zeros((m_padded, 32), jnp.int32)
-            ).reshape(n_padded)
+            pops3 = jax.lax.fori_loop(0, bitcount, acc, m8s_pops)
+            # kernel's shard-local column = 32*(r*M8s + m) + bit, which for a
+            # single shard is exactly the row-major flatten of (r, m, bit);
+            # the synthetic bitplane bench therefore assumes one chip (real
+            # stores handle the multi-shard interleave on the host)
+            pops = pops3.reshape(-1)
             pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
             return planes, pops
 
