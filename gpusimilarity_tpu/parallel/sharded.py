@@ -609,9 +609,34 @@ def _bitplane_local_topk(
         _, sel = jax.lax.top_k(block_max, k_blocks)
         sel = jnp.sort(sel.astype(jnp.int32))
 
-        # phase 2: re-scan selected blocks
+        # phase 2: re-scan selected blocks. One DMA per block: slice the FULL
+        # plane stripe (every plane's 8 sub-rows over bw8 words — a few
+        # hundred KB, streamed) and gather the query's P plane windows from
+        # the small in-core stripe; per-(block, plane) slicing costs
+        # k_blocks * P tiny DMAs and measured ~6 ms extra.
         def block_scores(bi):
-            return window_scores(bi * bw8, bw8)  # (8, seg)
+            base8 = bi * bw8
+            stripe = jax.lax.dynamic_slice(
+                planes, (0, base8), (n_plane_rows, bw8)
+            ).reshape(n_plane_rows // 8, 8, bw8)
+            rows = jnp.take(stripe, qidx, axis=0)  # (P, 8, bw8)
+            counters = wallace_popcount_planes(
+                [rows[pi] for pi in range(p)]
+            )
+            common = jnp.zeros((8, seg), dtype=jnp.int32)
+            for j, c2 in enumerate(counters):
+                bits = (c2[..., None] >> shifts) & jnp.uint32(1)
+                common = common + (bits.astype(jnp.int32).reshape(8, seg) << j)
+            col_pops, valid = [], []
+            for r in range(8):
+                start = 32 * (r * m8s + base8)
+                col_pops.append(jax.lax.dynamic_slice(pops, (start,), (seg,)))
+                lidx = start + jax.lax.broadcasted_iota(jnp.int32, (seg,), 0)
+                valid.append(shard_offset + lidx < n_valid)
+            s = similarity_from_counts(
+                common, jnp.stack(col_pops), qpop, similarity, alpha, beta
+            )
+            return jnp.where(jnp.stack(valid), s, NEG_INF)
 
         s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
         v, pos = jax.lax.top_k(s.reshape(-1), take)
