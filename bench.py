@@ -47,7 +47,7 @@ def main():
     k = int(os.environ.get("TPUSIM_BENCH_K", 128))
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
-    mode = os.environ.get("TPUSIM_BENCH_MODE", "dense")
+    mode = os.environ.get("TPUSIM_BENCH_MODE", "bitplane")
     qpop = int(os.environ.get("TPUSIM_BENCH_QPOP", 50))  # typical Morgan density
     w = 32  # 1024-bit fingerprints
 
