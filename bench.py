@@ -48,6 +48,7 @@ def main():
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
     mode = os.environ.get("TPUSIM_BENCH_MODE", "bitplane")
+    use_pallas = os.environ.get("TPUSIM_BENCH_PALLAS", "") == "1"
     qpop = int(os.environ.get("TPUSIM_BENCH_QPOP", 50))  # typical Morgan density
     w = 32  # 1024-bit fingerprints
 
@@ -148,7 +149,9 @@ def main():
         store = build_store_from_device(
             words, pops, n_valid=n_rows, mesh=mesh, chunk_cols=chunk
         )
-        search = build_search_fn(store, k=k, similarity="tanimoto", batch=batch)
+        search = build_search_fn(
+            store, k=k, similarity="tanimoto", batch=batch, use_pallas=use_pallas
+        )
 
         queries = rng.integers(0, 2**32, (batch, w), dtype=np.uint32)
         qpops = np.array(
@@ -191,7 +194,7 @@ def main():
                 "batch": batch,
                 "k": k,
                 "chips": n_shards,
-                "mode": mode,
+                "mode": mode + ("+pallas" if use_pallas else ""),
                 "min_latency_ms": round(min(times) * 1e3, 3),
                 "compile_plus_first_run_s": round(compile_s, 2),
                 "library_gen_s": round(gen_s, 2),
