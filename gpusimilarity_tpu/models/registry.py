@@ -197,18 +197,24 @@ class DatabaseRegistry:
     ) -> list[SearchResult]:
         """Batched multi-database search: one device pass per database for the
         whole ``(B, W)`` query batch, then a per-query cross-DB merge."""
+        import jax
+
         t0 = time.monotonic()
         b = len(queries)
         per_db: list[list[SearchResult]] = []
         for name, key in zip(dbnames, dbkeys):
             if name not in self._dbs:
                 raise KeyError(f"unknown database {name!r}")
-            per_db.append(
-                self._dbs[name].search_batch(
-                    queries, k=list(ks), cutoff=list(cutoffs), dbkey=key,
-                    similarity=similarity, alpha=alpha, beta=beta,
+            # profiler annotation: shows up in TensorBoard traces captured
+            # via --jax_profiler_port (the rebuild's tracing hook; the
+            # reference only had a wall-clock log, gpusim.cpp:420-429)
+            with jax.profiler.TraceAnnotation(f"tpusim.search.{name}"):
+                per_db.append(
+                    self._dbs[name].search_batch(
+                        queries, k=list(ks), cutoff=list(cutoffs), dbkey=key,
+                        similarity=similarity, alpha=alpha, beta=beta,
+                    )
                 )
-            )
         merged = [
             merge_results([db_results[qi] for db_results in per_db], int(ks[qi]))
             for qi in range(b)

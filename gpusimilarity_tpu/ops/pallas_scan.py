@@ -39,8 +39,8 @@ def _phase1_kernel(
     qpops_ref,  # VMEM (B,) int32
     cutoff_ref,  # VMEM (B,) f32
     params_ref,  # SMEM (3,): alpha, beta, (unused)
-    bmax_ref,  # out VMEM (B, bpc) f32
-    cnt_ref,  # out VMEM (B, 1) i32
+    bmax_ref,  # out VMEM (B, n_blocks) f32 — full array, sliced per chunk
+    cnt_ref,  # out VMEM (B, 128) i32 — lane-accumulated counts
     *,
     n_valid: int,
     block: int,
@@ -48,8 +48,13 @@ def _phase1_kernel(
 ):
     w, c = db_ref.shape
     b = q_ref.shape[0]
-    bpc = c // block
-    chunk_base = pl.program_id(0) * c + off_ref[0]
+    bpc = c // block  # must be a multiple of 128 (Mosaic store alignment)
+    ci = pl.program_id(0)
+    chunk_base = ci * c + off_ref[0]
+
+    @pl.when(ci == 0)
+    def _():
+        cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
 
     col_idx = chunk_base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     valid = col_idx < n_valid
@@ -75,10 +80,15 @@ def _phase1_kernel(
     scores = jnp.where((cf == denom) & (denom > 0), 1.0, scores)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    cnt_ref[:, 0] = jnp.sum(
-        (scores >= cutoff_ref[:][:, None]).astype(jnp.int32), axis=-1
+    count = jnp.sum(
+        (scores >= cutoff_ref[:][:, None]).astype(jnp.int32),
+        axis=-1, keepdims=True,
+    )  # (B, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == (ci % 128)
+    cnt_ref[:, :] += jnp.where(lane, count, 0)
+    bmax_ref[:, pl.ds(pl.multiple_of(ci * bpc, 128), bpc)] = jnp.max(
+        scores.reshape(b, bpc, block), axis=-1
     )
-    bmax_ref[:, :] = jnp.max(scores.reshape(b, bpc, block), axis=-1)
 
 
 @functools.partial(
@@ -108,6 +118,11 @@ def pallas_phase1(
         raise ValueError("chunk must divide the shard and block the chunk")
     n_chunks = n_shard // chunk
     bpc = chunk // block
+    if bpc % 128:
+        raise ValueError(
+            f"chunk/block = {bpc} must be a multiple of 128 for aligned "
+            "VMEM stores (e.g. chunk 65536 with block 512)"
+        )
 
     off = jnp.reshape(shard_offset.astype(jnp.int32), (1,))
     params = jnp.stack(
@@ -129,8 +144,10 @@ def pallas_phase1(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
         ],
         out_specs=[
-            pl.BlockSpec((b, bpc), lambda i, off: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda i, off: (0, i), memory_space=pltpu.VMEM),
+            # full-array blocks (any size is legal when it equals the array);
+            # the kernel writes its chunk's slice each grid step
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
     bmax, cnts = pl.pallas_call(
@@ -138,7 +155,7 @@ def pallas_phase1(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, n_chunks * bpc), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_chunks), jnp.int32),
+            jax.ShapeDtypeStruct((b, 128), jnp.int32),
         ],
         interpret=interpret,
     )(off, db, pops, queries, query_pops, cutoffs, params)

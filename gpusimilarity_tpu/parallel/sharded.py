@@ -295,7 +295,12 @@ def _local_scan_topk(
     shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard
     n_chunks = n_shard // chunk
 
-    block = SELECT_BLOCK_COLS if chunk % SELECT_BLOCK_COLS == 0 else chunk
+    if use_pallas and chunk % 128 == 0:
+        block = chunk // 128  # Mosaic-aligned: 128 block-maxima per chunk
+    elif chunk % SELECT_BLOCK_COLS == 0:
+        block = SELECT_BLOCK_COLS
+    else:
+        block = chunk
     n_blocks = n_shard // block
     blocks_per_chunk = chunk // block
     k_blocks = min(k, n_blocks)
@@ -341,7 +346,7 @@ def _local_scan_topk(
         return vals, idx, cnt
 
     # ---- phase 1: per-block maxima + cutoff counts, streamed --------------
-    if use_pallas:
+    if use_pallas and chunk % 128 == 0 and block == chunk // 128:
         from ..ops.pallas_scan import pallas_phase1
 
         block_max, cnt = pallas_phase1(

@@ -35,7 +35,7 @@ def xla_reference(db_planar, pops, queries, qpops, cutoffs, n_valid, block, offs
 class TestPallasPhase1:
     @pytest.mark.parametrize("b", [1, 4])
     def test_matches_reference(self, rng, b):
-        n, chunk, block = 4096, 1024, 256
+        n, chunk, block = 4096, 4096, 32
         words = make_db(rng, n)
         planar = np.ascontiguousarray(words.T)
         pops = popcount_rows_np(words)
@@ -74,7 +74,7 @@ class TestPallasPhase1:
             jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
             jnp.asarray(pops[:1]), jnp.asarray(np.zeros(1, np.float32)),
             jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
-            chunk=512, block=128, n_valid=n_valid, interpret=True,
+            chunk=512, block=4, n_valid=n_valid, interpret=True,
         )
         # padded tail blocks are all -inf
         assert np.asarray(bmax)[0, -2:].max() == -np.inf
@@ -90,10 +90,10 @@ class TestPallasPhase1:
             jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
             jnp.asarray(pops[:1]), jnp.asarray(np.zeros(1, np.float32)),
             jnp.float32(1.0), jnp.float32(1.0), jnp.int32(400),
-            chunk=512, block=128, n_valid=600, interpret=True,
+            chunk=512, block=4, n_valid=600, interpret=True,
         )
         assert int(cnt[0]) == 200
-        assert np.asarray(bmax)[0, 2:].max() == -np.inf
+        assert np.asarray(bmax)[0, 50:].max() == -np.inf  # cols >=200 invalid, block=4
 
     def test_tversky_mode(self, rng):
         n = 1024
@@ -105,9 +105,9 @@ class TestPallasPhase1:
             jnp.asarray(planar), jnp.asarray(pops), jnp.asarray(q),
             jnp.asarray(pops[:2]), jnp.asarray(np.zeros(2, np.float32)),
             jnp.float32(0.3), jnp.float32(0.7), jnp.int32(0),
-            chunk=512, block=128, n_valid=n, similarity="tversky",
+            chunk=512, block=4, n_valid=n, similarity="tversky",
             interpret=True,
         )
         ref = scores_np(words, q, similarity="tversky", alpha=0.3, beta=0.7)
-        ref_bmax = ref.reshape(2, -1, 128).max(axis=-1)
+        ref_bmax = ref.reshape(2, -1, 4).max(axis=-1)
         np.testing.assert_allclose(np.asarray(bmax), ref_bmax, rtol=1e-6)
