@@ -295,8 +295,16 @@ def _local_scan_topk(
     shard_offset = jax.lax.axis_index(axis).astype(jnp.int32) * n_shard
     n_chunks = n_shard // chunk
 
-    if use_pallas and chunk % 128 == 0:
-        block = chunk // 128  # Mosaic-aligned: 128 block-maxima per chunk
+    # Pallas phase 1 streams (W, chunk) windows through VMEM: cap its chunk
+    # at 32Ki columns (4 MiB double-buffered) regardless of the XLA path's
+    # chunking, and keep 128 block-maxima per chunk for aligned stores.
+    p1_chunk = chunk
+    if use_pallas:
+        cap = 32768
+        if chunk > cap and n_shard % cap == 0:
+            p1_chunk = cap
+    if use_pallas and p1_chunk % 128 == 0:
+        block = p1_chunk // 128  # Mosaic-aligned: 128 maxima per chunk
     elif chunk % SELECT_BLOCK_COLS == 0:
         block = SELECT_BLOCK_COLS
     else:
@@ -346,12 +354,13 @@ def _local_scan_topk(
         return vals, idx, cnt
 
     # ---- phase 1: per-block maxima + cutoff counts, streamed --------------
-    if use_pallas and chunk % 128 == 0 and block == chunk // 128:
+    if use_pallas and p1_chunk % 128 == 0 and block == p1_chunk // 128:
         from ..ops.pallas_scan import pallas_phase1
 
         block_max, cnt = pallas_phase1(
             db, pops, queries, query_pops, cutoff, alpha, beta, shard_offset,
-            chunk=chunk, block=block, n_valid=n_valid, similarity=similarity,
+            chunk=p1_chunk, block=block, n_valid=n_valid,
+            similarity=similarity,
             interpret=(jax.default_backend() == "cpu"),
         )
     else:
