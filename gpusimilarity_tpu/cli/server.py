@@ -46,6 +46,10 @@ def parse_args(argv=None):
         help="dense packed-word scan or bit-sliced sparse-query scan",
     )
     parser.add_argument(
+        "--pallas", action="store_true",
+        help="use the hand-written Pallas TPU kernel for the dense scan",
+    )
+    parser.add_argument(
         "--jax_profiler_port", default=0, type=int,
         help="start the JAX profiler server (TensorBoard-attachable) on this port",
     )
@@ -85,6 +89,7 @@ def main(argv=None):
         device_bitcount=args.device_bitcount,
         fold_factor=args.fold,
         scan_mode=args.scan_mode,
+        use_pallas=args.pallas,
     )
     server = SimilarityServer(
         registry,

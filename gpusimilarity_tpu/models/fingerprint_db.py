@@ -55,15 +55,19 @@ class FingerprintDB:
         chunk_cols: int | None = None,
         keep_full_on_host: bool = True,
         scan_mode: str = "dense",
+        use_pallas: bool = False,
     ):
         """``scan_mode``: ``"dense"`` scans every packed word per query (the
         word-planar kernel); ``"bitplane"`` stores the library bit-transposed
-        and reads only the query's set-bit planes — much faster for sparse
-        fingerprints like Morgan (see ``ops/bitplane.py``)."""
+        and reads only the query's set-bit planes — lower single-query
+        latency for sparse fingerprints like Morgan (see ``ops/bitplane.py``);
+        dense batches better. ``use_pallas`` routes the dense phase-1 scan
+        through the hand-written Pallas TPU kernel."""
         data.validate()
         if scan_mode not in ("dense", "bitplane"):
             raise ValueError(f"unknown scan_mode {scan_mode!r}")
         self.scan_mode = scan_mode
+        self.use_pallas = use_pallas
         self.dbkey = data.dbkey
         self.bitcount = data.bitcount
         self._smiles = data.smiles
@@ -132,7 +136,8 @@ class FingerprintDB:
                 )
             else:
                 fn = sharded.build_search_fn(
-                    self._store, k_fetch, similarity, batch
+                    self._store, k_fetch, similarity, batch,
+                    use_pallas=self.use_pallas,
                 )
             self._search_fns[key] = fn
         return fn

@@ -48,6 +48,7 @@ class DatabaseRegistry:
         device_bitcount: int = 0,
         fold_factor: Optional[int] = None,
         scan_mode: str = "dense",
+        use_pallas: bool = False,
     ) -> "DatabaseRegistry":
         """Load ``.fsim`` files or native ``.tfsim`` directories; database
         names are file basenames (reference ``gpusim.cpp:114-116``).
@@ -79,7 +80,7 @@ class DatabaseRegistry:
         )
         for name, data in datas:
             t0 = time.monotonic()
-            reg.add(name, data, fold_factor=fold, scan_mode=scan_mode)
+            reg.add(name, data, fold_factor=fold, scan_mode=scan_mode, use_pallas=use_pallas)
             log.info("uploaded %s to device mesh (%.2fs)", name, time.monotonic() - t0)
         return reg
 
@@ -113,9 +114,11 @@ class DatabaseRegistry:
         data: FingerprintData,
         fold_factor: int | str = 1,
         scan_mode: str = "dense",
+        use_pallas: bool = False,
     ) -> None:
         self._dbs[name] = FingerprintDB(
-            data, mesh=self._mesh, fold_factor=fold_factor, scan_mode=scan_mode
+            data, mesh=self._mesh, fold_factor=fold_factor,
+            scan_mode=scan_mode, use_pallas=use_pallas,
         )
 
     # ----------------------------------------------------------------- access
