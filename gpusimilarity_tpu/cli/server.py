@@ -8,6 +8,7 @@ serves HTTP/JSON searches with request batching.
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import sys
 
@@ -58,6 +59,12 @@ def parse_args(argv=None):
         help="also serve the reference's binary local-socket protocol on "
         "$TMPDIR/<name> (the reference backend used 'gpusimilarity')",
     )
+    parser.add_argument(
+        "--jax_cache_dir",
+        default=os.path.expanduser("~/.cache/tpusimilarity/xla"),
+        help="persistent XLA compilation cache (restarts skip compiles); "
+        "empty string disables",
+    )
     return parser.parse_args(argv)
 
 
@@ -73,6 +80,9 @@ def main(argv=None):
 
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
+    if args.jax_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.jax_profiler_port:
         # on-demand device profiling: point TensorBoard (or
         # `jax.profiler.trace_function`) at this port to capture traces of

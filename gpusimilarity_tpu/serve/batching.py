@@ -71,7 +71,7 @@ class BatchingSearcher:
         similarity: str = TANIMOTO,
         alpha: float = 1.0,
         beta: float = 1.0,
-        timeout: float = 60.0,
+        timeout: float = 600.0,  # first query of a shape pays XLA compile
     ) -> SearchResult:
         """Blocking search; may share a device pass with concurrent callers."""
         item = _Pending(

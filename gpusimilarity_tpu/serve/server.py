@@ -247,6 +247,12 @@ def make_handler(service: SearchService, debug_ui: bool):
                 self._send_json(400, {"error": str(e)})
             except KeyError as e:
                 self._send_json(400, {"error": str(e.args[0]) if e.args else str(e)})
+            except TimeoutError:
+                self._send_json(
+                    503,
+                    {"error": "search timed out (first query of a new batch "
+                              "shape compiles; retry shortly)"},
+                )
             except Exception as e:  # pragma: no cover
                 log.exception("internal error")
                 self._send_json(500, {"error": f"internal error: {e}"})
