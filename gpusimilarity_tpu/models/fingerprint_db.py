@@ -224,9 +224,12 @@ class FingerprintDB:
             jnp.float32(alpha),
             jnp.float32(beta),
         )
-        vals = np.asarray(vals)[:b]
-        idx = np.asarray(idx)[:b]
-        approx = np.asarray(approx)[:b]
+        # one concurrent device->host gather: separate np.asarray calls cost
+        # one full dispatch round-trip each (~24 ms over a remote tunnel)
+        import jax
+
+        vals, idx, approx = jax.device_get((vals, idx, approx))
+        vals, idx, approx = vals[:b], idx[:b], approx[:b]
 
         results = []
         for qi in range(b):
