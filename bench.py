@@ -43,7 +43,10 @@ def main():
         build_store_from_device,
     )
 
-    n_rows = int(os.environ.get("TPUSIM_BENCH_ROWS", 64 * 1024 * 1024))
+    # default 96M rows = 12.3 GB of packed fingerprints resident per chip
+    # (the 1B-on-8-chips target is 125M/chip; 96M is the safe margin under
+    # this chip's 15.75 GB usable HBM with workspace)
+    n_rows = int(os.environ.get("TPUSIM_BENCH_ROWS", 96 * 1024 * 1024))
     k = int(os.environ.get("TPUSIM_BENCH_K", 128))
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
