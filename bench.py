@@ -118,13 +118,20 @@ def main():
         planes.block_until_ready()
         gen_s = time.monotonic() - t0
 
+        pops3 = None
+        if use_pallas:
+            from gpusimilarity_tpu.ops.pallas_bitplane import build_pops3
+
+            pops3 = jax.jit(lambda pp: build_pops3(pp, n_shards))(pops)
         store = BitplaneStore(
             mesh=mesh, axis="shards", planes=planes, popcounts=pops,
             n_valid=n_rows, chunk_cols=min(1 << 18, chunk), bitcount=bitcount,
+            pops3=pops3,
         )
         bucket = next(p for p in PLANE_BUCKETS if p >= qpop)
         search = build_bitplane_search_fn(
-            store, k=k, similarity="tanimoto", batch=batch, plane_bucket=bucket
+            store, k=k, similarity="tanimoto", batch=batch, plane_bucket=bucket,
+            use_pallas=use_pallas,
         )
         plane_idx = np.full((batch, bucket), bitcount, dtype=np.int32)
         for bq in range(batch):

@@ -90,6 +90,7 @@ class FingerprintDB:
                 device_rows,
                 mesh=self._mesh,
                 chunk_cols=chunk_cols or sharded.BITPLANE_CHUNK_COLS,
+                with_pops3=use_pallas,
             )
         else:
             self._store = sharded.build_store(
@@ -132,7 +133,8 @@ class FingerprintDB:
         if fn is None:
             if self.scan_mode == "bitplane":
                 fn = sharded.build_bitplane_search_fn(
-                    self._store, k_fetch, similarity, batch, plane_bucket
+                    self._store, k_fetch, similarity, batch, plane_bucket,
+                    use_pallas=self.use_pallas,
                 )
             else:
                 fn = sharded.build_search_fn(

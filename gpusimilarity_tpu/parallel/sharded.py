@@ -180,6 +180,9 @@ class BitplaneStore:
     n_valid: int
     chunk_cols: int
     bitcount: int
+    # bit-major popcounts (32, 8, n_padded // 256) for the Pallas kernel;
+    # built only when requested (it duplicates the flat popcounts)
+    pops3: jax.Array | None = None
 
     @property
     def n_padded(self) -> int:
@@ -204,6 +207,7 @@ def build_bitplane_store(
     mesh: jax.sharding.Mesh | None = None,
     axis: str = SHARD_AXIS,
     chunk_cols: int = BITPLANE_CHUNK_COLS,
+    with_pops3: bool = False,
 ) -> BitplaneStore:
     """Upload packed ``uint32[N, W]`` rows as a sharded bitplane store."""
     from ..ops.bitplane import build_bitplanes_np
@@ -215,7 +219,11 @@ def build_bitplane_store(
     n_shards = mesh.shape[axis]
 
     per_shard = -(-max(n, 1) // n_shards)
-    chunk = min(chunk_cols, _round_up(per_shard, 8192))
+    # the Pallas phase-1 kernel needs each shard's sub-row width (m8s) to be
+    # a multiple of its 1024-word chunk: 262144 columns
+    align = 262144 if with_pops3 else 8192
+    chunk = min(chunk_cols, _round_up(per_shard, align))
+    per_shard = _round_up(per_shard, chunk if chunk % align == 0 else align)
     per_shard = _round_up(per_shard, chunk)
     n_padded = per_shard * n_shards
 
@@ -239,6 +247,15 @@ def build_bitplane_store(
     pops = np.zeros(n_padded, dtype=np.int32)
     pops[:n] = popcount_rows_np(packed_rows)
 
+    pops3 = None
+    if with_pops3:
+        from ..ops.pallas_bitplane import build_pops3
+
+        pops3 = jax.device_put(
+            build_pops3(pops, n_shards),
+            NamedSharding(mesh, P(None, None, axis)),
+        )
+
     return BitplaneStore(
         mesh=mesh,
         axis=axis,
@@ -247,6 +264,7 @@ def build_bitplane_store(
         n_valid=n,
         chunk_cols=chunk,
         bitcount=bitcount,
+        pops3=pops3,
     )
 
 
@@ -509,6 +527,8 @@ def _bitplane_local_topk(
     n_valid: int,
     similarity: str,
     axis: str,
+    pops3=None,
+    use_pallas: bool = False,
 ):
     """Per-shard bit-sliced scan + two-phase exact top-k.
 
@@ -591,19 +611,37 @@ def _bitplane_local_topk(
             return jnp.where(valid, s, NEG_INF)
 
         # phase 1: per-block maxima + cutoff count, streamed
-        def phase1_fn(ci):
-            s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
-            bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
-            return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
+        pallas_ok = (
+            use_pallas
+            and pops3 is not None
+            and not small
+            and bw8 == 8
+            and m8s % 1024 == 0
+        )
+        if pallas_ok:
+            from ..ops.pallas_bitplane import pallas_bitplane_phase1
 
-        if n_chunks == 1:
-            block_max, cnt_q = phase1_fn(0)
-        else:
-            bmaxs, cnts = jax.lax.map(
-                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            block_max, cnt_q = pallas_bitplane_phase1(
+                planes, pops3, qidx, qpop, qcut,
+                jnp.stack([alpha, beta]).astype(jnp.float32),
+                shard_offset,
+                mc8=1024, bw8=bw8, n_valid=n_valid, similarity=similarity,
+                interpret=(jax.default_backend() == "cpu"),
             )
-            block_max = bmaxs.reshape(n_blocks)
-            cnt_q = cnts.sum()
+        else:
+            def phase1_fn(ci):
+                s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
+                bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
+                return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
+
+            if n_chunks == 1:
+                block_max, cnt_q = phase1_fn(0)
+            else:
+                bmaxs, cnts = jax.lax.map(
+                    phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+                )
+                block_max = bmaxs.reshape(n_blocks)
+                cnt_q = cnts.sum()
 
         def flat_to_local(base8_of_block, flat_pos):
             """Flat (8, width*32) position -> shard-local column index."""
@@ -671,6 +709,7 @@ def build_bitplane_search_fn(
     similarity: str,
     batch: int,
     plane_bucket: int,
+    use_pallas: bool = False,
 ) -> Callable:
     """Compile the sparse SPMD search: ``(plane_idx i32[B,P], qpops, cutoffs,
     alpha, beta) -> (values, indices, approx)`` — same contract as
@@ -679,6 +718,7 @@ def build_bitplane_search_fn(
     n_shard_cols = store.n_padded // store.n_shards
     chunk_cols = min(store.chunk_cols, n_shard_cols)
     k_local = min(k, n_shard_cols)
+    use_pallas = use_pallas and store.pops3 is not None
 
     local = functools.partial(
         _bitplane_local_topk,
@@ -687,11 +727,13 @@ def build_bitplane_search_fn(
         n_valid=store.n_valid,
         similarity=similarity,
         axis=axis,
+        use_pallas=use_pallas,
     )
 
-    def spmd(planes, pops, plane_idx, query_pops, cutoff, alpha, beta):
+    def spmd(planes, pops, pops3, plane_idx, query_pops, cutoff, alpha, beta):
         vals, idx, cnt = local(
-            planes, pops, plane_idx, query_pops, cutoff, alpha, beta
+            planes, pops, plane_idx, query_pops, cutoff, alpha, beta,
+            pops3=pops3,
         )
         all_vals = jax.lax.all_gather(vals, axis)
         all_idx = jax.lax.all_gather(idx, axis)
@@ -704,20 +746,42 @@ def build_bitplane_search_fn(
         approx = jax.lax.psum(cnt, axis)
         return top_vals, top_idx, approx
 
-    mapped = _shard_map(
-        spmd,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    jitted = jax.jit(mapped)
+    def spmd_no_pops3(planes, pops, plane_idx, query_pops, cutoff, alpha, beta):
+        return spmd(planes, pops, None, plane_idx, query_pops, cutoff, alpha, beta)
 
-    def search(plane_idx, query_pops, cutoff, alpha, beta):
-        return jitted(
-            store.planes, store.popcounts, plane_idx, query_pops, cutoff,
-            alpha, beta,
+    if use_pallas:
+        mapped = _shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(
+                P(None, axis), P(axis), P(None, None, axis),
+                P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
         )
+        jitted = jax.jit(mapped)
+
+        def search(plane_idx, query_pops, cutoff, alpha, beta):
+            return jitted(
+                store.planes, store.popcounts, store.pops3, plane_idx,
+                query_pops, cutoff, alpha, beta,
+            )
+    else:
+        mapped = _shard_map(
+            spmd_no_pops3,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(mapped)
+
+        def search(plane_idx, query_pops, cutoff, alpha, beta):
+            return jitted(
+                store.planes, store.popcounts, plane_idx, query_pops, cutoff,
+                alpha, beta,
+            )
 
     del batch, plane_bucket
     return search
