@@ -2,21 +2,24 @@
 
 The XLA version (``parallel/sharded._bitplane_local_topk``) splits the
 carry-save adder tree across several fusions with HBM round-trips between
-them and relayouts for the counter unpack (profiled at ~5 ms per 64M-row
-query, ~3.5x the traffic bound). This kernel keeps the whole per-chunk
-pipeline in VMEM:
+them and relayouts for the counter unpack (profiled ~5 ms per 64M-row query,
+~3.5x the traffic bound). This kernel keeps the whole per-chunk pipeline in
+VMEM:
 
-* the query's P set-bit plane windows are streamed by Pallas itself — the
-  ``PrefetchScalarGridSpec`` index maps read the plane indices, so each of
-  the P input specs pipelines ``(8, mc8)`` tile-aligned windows with
-  automatic double-buffering (no gather, no manual DMA);
+* the query's P set-bit plane windows are fetched with manually
+  double-buffered async DMAs from a single HBM ref (dynamic plane rows; an
+  earlier variant passed the planes array once per plane so Pallas could
+  pipeline them, which made XLA materialize P copies of the library);
 * the CSA tree runs on whole ``(8, mc8)`` registers;
 * instead of unpacking bit-sliced counters into per-column integers (a
   rank-3 relayout), scoring iterates the 32 lane-bit positions: for each bit
   ``b`` the counter shift ``(c_j >> b) & 1`` rebuilds that bit-column's
   counts as another perfect ``(8, mc8)`` tile, scores it against the
-  bit-rearranged popcount planes (``pops3``), and accumulates block maxima
-  and cutoff counts with running reductions.
+  bit-rearranged popcount planes (``pops3``), and accumulates running
+  per-word maxima and cutoff counts;
+* per-word maxima stream out as tile-aligned blocks; the tiny block-max
+  reduction runs outside the kernel (Mosaic cannot shape-cast (8, mc8) to
+  (8, bpc, bw8)).
 
 Layouts (see ``parallel/sharded.BitplaneStore``): plane sub-rows
 ``(8p + r, w)``; ``pops3[b, r, w] = pops[32*(r*M8s + w) + b]`` per shard.
@@ -40,24 +43,58 @@ NEG_INF = float("-inf")
 def _kernel(
     idx_ref,  # SMEM (P,): query plane indices (sentinel = bitcount)
     off_ref,  # SMEM (1,): shard's global column offset
-    *refs,
+    planes_ref,  # ANY/HBM ((bitcount+1)*8, M8s)
+    pops3_ref,  # VMEM (32, 8, mc8) pipelined window
+    qpop_ref,  # SMEM (1,)
+    cutoff_ref,  # SMEM (1,)
+    ab_ref,  # SMEM (2,)
+    colmax_ref,  # out VMEM (8, mc8) per-word running maxima
+    cnt_ref,  # out VMEM (1, 128) lane-accumulated counts
+    scratch_ref,  # VMEM (2, P, 8, mc8) double-buffered plane windows
+    sems,  # DMA sems (2, P)
+    *,
     n_valid: int,
     p: int,
-    bw8: int,
     m8s: int,
+    n_chunks: int,
     similarity: str,
 ):
-    plane_refs = refs[:p]
-    pops3_ref, qpop_ref, cutoff_ref, ab_ref, bmax_ref, cnt_ref = refs[p:]
-    mc8 = plane_refs[0].shape[1]
-    bpc = mc8 // bw8  # block-maxima written per chunk (must be 128-aligned)
+    mc8 = colmax_ref.shape[1]
     ci = pl.program_id(0)
+
+    def start_fetch(slot, chunk_idx):
+        for pi in range(p):
+            pltpu.make_async_copy(
+                planes_ref.at[pl.ds(8 * idx_ref[pi], 8),
+                              pl.ds(chunk_idx * mc8, mc8)],
+                scratch_ref.at[slot, pi],
+                sems.at[slot, pi],
+            ).start()
+
+    def wait_fetch(slot, chunk_idx):
+        for pi in range(p):
+            pltpu.make_async_copy(
+                planes_ref.at[pl.ds(8 * idx_ref[pi], 8),
+                              pl.ds(chunk_idx * mc8, mc8)],
+                scratch_ref.at[slot, pi],
+                sems.at[slot, pi],
+            ).wait()
 
     @pl.when(ci == 0)
     def _():
         cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
+        start_fetch(0, 0)
 
-    counters = wallace_popcount_planes([r[:, :] for r in plane_refs])
+    @pl.when(ci + 1 < n_chunks)
+    def _():
+        start_fetch((ci + 1) % 2, ci + 1)
+
+    wait_fetch(ci % 2, ci)
+    slot = ci % 2
+
+    counters = wallace_popcount_planes(
+        [scratch_ref[slot, pi] for pi in range(p)]
+    )
 
     qpop = qpop_ref[0].astype(jnp.float32)
     cutoff = cutoff_ref[0]
@@ -90,13 +127,8 @@ def _kernel(
         bmax = jnp.maximum(bmax, s)
         count = count + (s >= cutoff).astype(jnp.int32)
 
-    # block b4 spans all 8 sub-rows x bw8 words x 32 bits
-    block_maxima = jnp.max(bmax.reshape(8, bpc, bw8), axis=(0, 2))
+    colmax_ref[:, :] = bmax
     cnt_total = jnp.sum(count, keepdims=False)
-
-    bmax_ref[:, pl.ds(pl.multiple_of(ci * bpc, 128), bpc)] = block_maxima.reshape(
-        1, bpc
-    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == (ci % 128)
     cnt_ref[:, :] += jnp.where(lane, cnt_total, 0)
 
@@ -109,8 +141,8 @@ def pallas_bitplane_phase1(
     planes,  # uint32 ((bitcount+1)*8, M8s)
     pops3,  # int32 (32, 8, M8s)
     plane_idx,  # int32 (P,)
-    query_pop,  # int32 scalar array (1,)
-    cutoff,  # f32 (1,)
+    query_pop,  # int32 scalar array
+    cutoff,  # f32 scalar array
     alpha_beta,  # f32 (2,)
     shard_offset,  # i32 scalar
     *,
@@ -123,27 +155,16 @@ def pallas_bitplane_phase1(
     """Returns (block_max f32[n_blocks], count i32[]) for ONE query."""
     n_rows, m8s = planes.shape
     p = plane_idx.shape[0]
-    if m8s % mc8 or mc8 % bw8 or (mc8 // bw8) % 128:
-        raise ValueError(
-            f"need m8s % mc8 == 0, mc8 % bw8 == 0, mc8/bw8 % 128 == 0 "
-            f"(m8s={m8s}, mc8={mc8}, bw8={bw8})"
-        )
+    if m8s % mc8 or mc8 % bw8:
+        raise ValueError(f"bad geometry (m8s={m8s}, mc8={mc8}, bw8={bw8})")
     n_chunks = m8s // mc8
-    bpc = mc8 // bw8
-    n_blocks = n_chunks * bpc
-
-    def plane_spec(pi):
-        return pl.BlockSpec(
-            (8, mc8),
-            lambda i, idx, off, pi=pi: (idx[pi], i),
-            memory_space=pltpu.VMEM,
-        )
+    n_blocks = m8s // bw8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[plane_spec(pi) for pi in range(p)]
-        + [
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
             pl.BlockSpec(
                 (32, 8, mc8), lambda i, idx, off: (0, 0, i),
                 memory_space=pltpu.VMEM,
@@ -153,31 +174,39 @@ def pallas_bitplane_phase1(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha/beta
         ],
         out_specs=[
+            pl.BlockSpec(
+                (8, mc8), lambda i, idx, off: (0, i), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, p, 8, mc8), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, p)),
         ],
     )
     kernel = functools.partial(
-        _kernel, n_valid=n_valid, p=p, bw8=bw8, m8s=m8s, similarity=similarity
+        _kernel, n_valid=n_valid, p=p, m8s=m8s, n_chunks=n_chunks,
+        similarity=similarity,
     )
-    bmax, cnts = pl.pallas_call(
+    colmax, cnts = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_blocks), jnp.float32),
+            jax.ShapeDtypeStruct((8, m8s), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
         plane_idx,
         jnp.reshape(shard_offset.astype(jnp.int32), (1,)),
-        *([planes] * p),
+        planes,
         pops3,
         jnp.reshape(query_pop, (1,)).astype(jnp.int32),
         jnp.reshape(cutoff, (1,)).astype(jnp.float32),
         alpha_beta.astype(jnp.float32),
     )
-    return bmax[0], cnts.sum()
+    block_max = colmax.reshape(8, n_blocks, bw8).max(axis=(0, 2))
+    return block_max, cnts.sum()
 
 
 def build_pops3(pops_flat, n_shards: int):
