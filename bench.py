@@ -51,7 +51,7 @@ def main():
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
     mode = os.environ.get("TPUSIM_BENCH_MODE", "bitplane")
-    use_pallas = os.environ.get("TPUSIM_BENCH_PALLAS", "") == "1"
+    use_pallas = os.environ.get("TPUSIM_BENCH_PALLAS", "1") == "1"
     qpop = int(os.environ.get("TPUSIM_BENCH_QPOP", 50))  # typical Morgan density
     w = 32  # 1024-bit fingerprints
 

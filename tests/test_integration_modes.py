@@ -103,3 +103,32 @@ class TestModeParity:
             assert ids[0] == data.ids[42].decode()
         finally:
             srv.close()
+
+
+class TestPallasBitplane:
+    def test_pallas_bitplane_matches_xla(self):
+        """Flagship kernel parity in interpreter mode (slow: ~1 min).
+
+        The kernel needs >=262144 columns per shard, so this runs on a
+        single-device mesh with an exactly-aligned store.
+        """
+        import jax
+
+        from gpusimilarity_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:1])
+        data = random_fingerprint_data(
+            np.random.default_rng(5), count=262144, dbkey="pb"
+        )
+        xla = FingerprintDB(data, mesh=mesh, scan_mode="bitplane")
+        pal = FingerprintDB(
+            data, mesh=mesh, scan_mode="bitplane", use_pallas=True
+        )
+        assert pal._store.pops3 is not None
+        words = data.packed_words()
+        a = xla.search(words[31337], k=20, cutoff=0.1, dbkey="pb")
+        b = pal.search(words[31337], k=20, cutoff=0.1, dbkey="pb")
+        assert a.scores == b.scores
+        assert a.ids == b.ids
+        assert a.approximate_count == b.approximate_count
+        assert b.scores[0] == 1.0
