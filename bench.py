@@ -69,7 +69,6 @@ def main():
     pops_sharding = NamedSharding(mesh, P("shards"))
 
     rng = np.random.default_rng(1)
-    cutoffs = np.zeros(batch, np.float32)
 
     if mode == "bitplane":
         from gpusimilarity_tpu.ops.bitplane import PLANE_BUCKETS
@@ -129,17 +128,18 @@ def main():
             pops3=pops3,
         )
         bucket = next(p for p in PLANE_BUCKETS if p >= qpop)
-        search = build_bitplane_search_fn(
-            store, k=k, similarity="tanimoto", batch=batch, plane_bucket=bucket,
-            use_pallas=use_pallas,
-        )
-        plane_idx = np.full((batch, bucket), bitcount, dtype=np.int32)
-        for bq in range(batch):
-            plane_idx[bq, :qpop] = np.sort(
-                rng.choice(bitcount, size=qpop, replace=False)
+
+        def build_for_batch(b):
+            search = build_bitplane_search_fn(
+                store, k=k, similarity="tanimoto", batch=b,
+                plane_bucket=bucket, use_pallas=use_pallas,
             )
-        query_arg = jnp.asarray(plane_idx)
-        qpops = np.full(batch, qpop, np.int32)
+            plane_idx = np.full((b, bucket), bitcount, dtype=np.int32)
+            for bq in range(b):
+                plane_idx[bq, :qpop] = np.sort(
+                    rng.choice(bitcount, size=qpop, replace=False)
+                )
+            return search, jnp.asarray(plane_idx), np.full(b, qpop, np.int32)
     else:
         @jax.jit
         def make_library(key):
@@ -159,39 +159,51 @@ def main():
         store = build_store_from_device(
             words, pops, n_valid=n_rows, mesh=mesh, chunk_cols=chunk
         )
-        search = build_search_fn(
-            store, k=k, similarity="tanimoto", batch=batch, use_pallas=use_pallas
+        def build_for_batch(b):
+            search = build_search_fn(
+                store, k=k, similarity="tanimoto", batch=b,
+                use_pallas=use_pallas,
+            )
+            queries = rng.integers(0, 2**32, (b, w), dtype=np.uint32)
+            qpops = np.array(
+                [bin(int(x)).count("1") for x in queries.reshape(-1)],
+                dtype=np.int64,
+            ).reshape(b, w).sum(axis=1).astype(np.int32)
+            return search, jnp.asarray(queries), qpops
+
+    def measure(b, reps):
+        search, query_arg, qpops = build_for_batch(b)
+        args = (
+            query_arg,
+            jnp.asarray(qpops),
+            jnp.asarray(np.zeros(b, np.float32)),
+            jnp.float32(1.0),
+            jnp.float32(1.0),
         )
-
-        queries = rng.integers(0, 2**32, (batch, w), dtype=np.uint32)
-        qpops = np.array(
-            [bin(int(x)).count("1") for x in queries.reshape(-1)], dtype=np.int64
-        ).reshape(batch, w).sum(axis=1).astype(np.int32)
-        query_arg = jnp.asarray(queries)
-
-    args = (
-        query_arg,
-        jnp.asarray(qpops),
-        jnp.asarray(cutoffs),
-        jnp.float32(1.0),
-        jnp.float32(1.0),
-    )
-
-    # warmup (compile + first run)
-    t0 = time.monotonic()
-    vals, idx, approx = search(*args)
-    vals.block_until_ready()
-    compile_s = time.monotonic() - t0
-
-    times = []
-    for _ in range(repeats):
         t0 = time.monotonic()
-        vals, idx, approx = search(*args)
+        vals, _, _ = search(*args)
         vals.block_until_ready()
-        times.append(time.monotonic() - t0)
+        compile_s = time.monotonic() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            vals, _, _ = search(*args)
+            vals.block_until_ready()
+            ts.append(time.monotonic() - t0)
+        return statistics.median(ts), min(ts), compile_s
 
-    p50 = statistics.median(times)
+    p50, tmin, compile_s = measure(batch, repeats)
+    times = [tmin]  # for the extras below
     fps_per_chip = n_rows * batch / p50 / n_shards
+
+    extras = {}
+    throughput_batch = int(os.environ.get("TPUSIM_BENCH_ALSO_BATCH", "8"))
+    if batch == 1 and throughput_batch > 1:
+        bp50, _, _ = measure(throughput_batch, max(3, repeats // 2))
+        extras[f"batch{throughput_batch}_fps_per_chip"] = round(
+            n_rows * throughput_batch / bp50 / n_shards, 1
+        )
+        extras[f"batch{throughput_batch}_p50_ms"] = round(bp50 * 1e3, 3)
     print(
         json.dumps(
             {
@@ -209,6 +221,7 @@ def main():
                 "compile_plus_first_run_s": round(compile_s, 2),
                 "library_gen_s": round(gen_s, 2),
                 "platform": devices[0].platform,
+                **extras,
             }
         )
     )
