@@ -231,6 +231,8 @@ class FingerprintDB:
         import jax
 
         vals, idx, approx = jax.device_get((vals, idx, approx))
+        # approx arrives as per-shard int32 counts (S, B): sum in int64
+        approx = approx.astype(np.int64).sum(axis=0)
         vals, idx, approx = vals[:b], idx[:b], approx[:b]
 
         results = []

@@ -7,7 +7,9 @@ blocks placed round-robin (``FingerprintDB::copyToGPU``,
 merge (``:333-338``) — with a single SPMD program: the packed fingerprint
 matrix is laid out column-sharded over a 1-D mesh, every shard scans its
 columns and selects a local top-k, candidates are merged with an
-``all_gather`` over ICI, and cutoff-survivor counts combine with a ``psum``.
+``all_gather`` over ICI, and per-shard cutoff-survivor counts travel with
+them (summed in int64 on the host — an int32 ``psum`` would overflow past
+~2.1B rows).
 
 Data layout: fingerprints are stored **planar** — ``uint32[W, N]`` (word-plane
 major) rather than row-major ``[N, W]`` — so the scan's element-wise
@@ -487,7 +489,9 @@ def build_search_fn(
         take = min(k, flat_vals.shape[-1])
         top_vals, pos = jax.lax.top_k(flat_vals, take)
         top_idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
-        approx = jax.lax.psum(cnt, axis)
+        # per-shard counts travel un-summed: an int32 psum would overflow
+        # beyond ~2.1B total rows; the engine sums in int64 on the host
+        approx = jax.lax.all_gather(cnt, axis)  # (S, B) int32
         return top_vals, top_idx, approx
 
     mapped = _shard_map(
@@ -743,7 +747,9 @@ def build_bitplane_search_fn(
         take = min(k, flat_vals.shape[-1])
         top_vals, pos = jax.lax.top_k(flat_vals, take)
         top_idx = jnp.take_along_axis(flat_idx, pos.astype(jnp.int32), axis=-1)
-        approx = jax.lax.psum(cnt, axis)
+        # per-shard counts travel un-summed: an int32 psum would overflow
+        # beyond ~2.1B total rows; the engine sums in int64 on the host
+        approx = jax.lax.all_gather(cnt, axis)  # (S, B) int32
         return top_vals, top_idx, approx
 
     def spmd_no_pops3(planes, pops, plane_idx, query_pops, cutoff, alpha, beta):
