@@ -164,7 +164,7 @@ def pallas_bitplane_phase1(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
             pl.BlockSpec(
                 (32, 8, mc8), lambda i, idx, off: (0, 0, i),
                 memory_space=pltpu.VMEM,
