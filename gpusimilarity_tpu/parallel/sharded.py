@@ -665,46 +665,36 @@ def _bitplane_local_topk(
         _, sel = jax.lax.top_k(block_max, k_blocks)
         sel = jnp.sort(sel.astype(jnp.int32))
 
-        # phase 2: re-scan selected blocks. The full plane stripe of every
-        # selected block is fetched with ONE vmapped dynamic_slice (an XLA
-        # gather of k_blocks (n_plane_rows, bw8) slices, pipelined) — serial
-        # per-block slicing under lax.map left the DMAs latency-bound
-        # (~1.7 ms of 13 us stripes) and per-(block, plane) slicing was
-        # k_blocks * P tiny DMAs (~6 ms).
-        def fetch_stripe(bi):
-            return jax.lax.dynamic_slice(
-                planes, (0, bi * bw8), (n_plane_rows, bw8)
+        # phase 2: re-scan selected blocks. One DMA per block: slice the FULL
+        # plane stripe (every plane's 8 sub-rows over bw8 words — a few
+        # hundred KB, streamed) and gather the query's P plane windows from
+        # the small in-core stripe; per-(block, plane) slicing costs
+        # k_blocks * P tiny DMAs and measured ~6 ms extra.
+        def block_scores(bi):
+            base8 = bi * bw8
+            stripe = jax.lax.dynamic_slice(
+                planes, (0, base8), (n_plane_rows, bw8)
+            ).reshape(n_plane_rows // 8, 8, bw8)
+            rows = jnp.take(stripe, qidx, axis=0)  # (P, 8, bw8)
+            counters = wallace_popcount_planes(
+                [rows[pi] for pi in range(p)]
             )
-
-        stripes = jax.vmap(fetch_stripe)(sel)  # (kb, n_plane_rows, bw8)
-        stripes = stripes.reshape(k_blocks, n_plane_rows // 8, 8, bw8)
-        rows = jnp.take(stripes, qidx, axis=1)  # (kb, P, 8, bw8)
-        counters = wallace_popcount_planes(
-            [rows[:, pi] for pi in range(p)]
-        )  # each (kb, 8, bw8)
-        common = jnp.zeros((k_blocks, 8, seg), dtype=jnp.int32)
-        for j, c2 in enumerate(counters):
-            bits = (c2[..., None] >> shifts) & jnp.uint32(1)
-            common = common + (
-                bits.astype(jnp.int32).reshape(k_blocks, 8, seg) << j
+            common = jnp.zeros((8, seg), dtype=jnp.int32)
+            for j, c2 in enumerate(counters):
+                bits = (c2[..., None] >> shifts) & jnp.uint32(1)
+                common = common + (bits.astype(jnp.int32).reshape(8, seg) << j)
+            col_pops, valid = [], []
+            for r in range(8):
+                start = 32 * (r * m8s + base8)
+                col_pops.append(jax.lax.dynamic_slice(pops, (start,), (seg,)))
+                lidx = start + jax.lax.broadcasted_iota(jnp.int32, (seg,), 0)
+                valid.append(shard_offset + lidx < n_valid)
+            s = similarity_from_counts(
+                common, jnp.stack(col_pops), qpop, similarity, alpha, beta
             )
+            return jnp.where(jnp.stack(valid), s, NEG_INF)
 
-        def fetch_pops(bi):
-            return jnp.stack([
-                jax.lax.dynamic_slice(
-                    pops, (32 * (r * m8s + bi * bw8),), (seg,)
-                )
-                for r in range(8)
-            ])
-
-        col_pops = jax.vmap(fetch_pops)(sel)  # (kb, 8, seg)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (k_blocks, 8, seg), 1)
-        rem_iota = jax.lax.broadcasted_iota(jnp.int32, (k_blocks, 8, seg), 2)
-        lidx = 32 * (r_iota * m8s + sel[:, None, None] * bw8) + rem_iota
-        s = similarity_from_counts(
-            common, col_pops, qpop, similarity, alpha, beta
-        )
-        s = jnp.where(shard_offset + lidx < n_valid, s, NEG_INF)
+        s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
         v, pos = jax.lax.top_k(s.reshape(-1), take)
         pos = pos.astype(jnp.int32)
         which = pos // (8 * seg)
