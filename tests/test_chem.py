@@ -219,3 +219,25 @@ class TestFingerprintFrontend:
         q, _ = smiles_to_query_words("OCC")  # ethanol, reordered
         r = db.search(q, k=3)
         assert r.ids[0] == "M0" and r.scores[0] == 1.0
+
+
+class TestParserFuzz:
+    def test_no_unexpected_exceptions(self):
+        """Random garbage either parses or raises SmilesError — never
+        crashes — and the writer handles anything the parser accepts."""
+        import random
+
+        rng = random.Random(42)
+        alphabet = "CNOSPcnos()[]=#123456789+-@Hl rB%F\\/."
+        parsed = 0
+        for _ in range(3000):
+            s = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 30))
+            )
+            try:
+                mol = parse_smiles(s)
+                write_smiles(mol)
+                parsed += 1
+            except SmilesError:
+                pass
+        assert parsed > 50  # sanity: some random strings are valid
