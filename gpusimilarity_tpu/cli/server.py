@@ -43,12 +43,14 @@ def parse_args(argv=None):
     parser.add_argument("--batch_window_ms", default=2.0, type=float,
                         help="batching window in milliseconds")
     parser.add_argument(
-        "--scan_mode", default="dense", choices=("dense", "bitplane"),
-        help="dense packed-word scan or bit-sliced sparse-query scan",
+        "--scan_mode", default="auto", choices=("auto", "dense", "bitplane"),
+        help="dense packed-word scan, bit-sliced sparse-query scan, or auto "
+        "(bitplane + Pallas kernel on TPU — best single-query latency; "
+        "dense on CPU)",
     )
     parser.add_argument(
         "--pallas", action="store_true",
-        help="use the hand-written Pallas TPU kernel for the dense scan",
+        help="use the hand-written Pallas TPU kernels",
     )
     parser.add_argument(
         "--jax_profiler_port", default=0, type=int,
@@ -94,12 +96,17 @@ def main(argv=None):
     from ..models.registry import DatabaseRegistry
     from ..serve.server import SimilarityServer
 
+    scan_mode, use_pallas = args.scan_mode, args.pallas
+    if scan_mode == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        scan_mode = "bitplane" if on_tpu else "dense"
+        use_pallas = use_pallas or on_tpu
     registry = DatabaseRegistry.from_fsim_files(
         args.dbnames,
         device_bitcount=args.device_bitcount,
         fold_factor=args.fold,
-        scan_mode=args.scan_mode,
-        use_pallas=args.pallas,
+        scan_mode=scan_mode,
+        use_pallas=use_pallas,
     )
     server = SimilarityServer(
         registry,
