@@ -435,7 +435,12 @@ def write_smiles(mol: Molecule) -> str:
     ring_bonds_at: list[list[int]] = [[] for _ in range(n)]  # both endpoints
     roots: list[int] = []
     used_bond = [False] * len(mol.bonds)
-    for root in sorted(range(n), key=lambda i: (ranks[i], i)):
+    # root each component at a terminal atom when one exists (canonical-rank
+    # tie-broken) so chains read naturally ("CCO", not "C(C)O")
+    root_order = sorted(
+        range(n), key=lambda i: (min(mol.degree(i), 2), ranks[i], i)
+    )
+    for root in root_order:
         if visited[root]:
             continue
         roots.append(root)
