@@ -694,7 +694,17 @@ def _bitplane_local_topk(
             )
             return jnp.where(jnp.stack(valid), s, NEG_INF)
 
-        s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
+        # unroll stripes in groups so XLA overlaps their DMAs: fully serial
+        # lax.map left each ~13 us stripe fetch latency-bound
+        unroll = 8 if k_blocks % 8 == 0 else 1
+        if unroll > 1:
+            grouped = sel.reshape(k_blocks // unroll, unroll)
+            s = jax.lax.map(
+                lambda g: jnp.stack([block_scores(g[u]) for u in range(unroll)]),
+                grouped,
+            ).reshape(k_blocks, 8, seg)
+        else:
+            s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
         v, pos = jax.lax.top_k(s.reshape(-1), take)
         pos = pos.astype(jnp.int32)
         which = pos // (8 * seg)
