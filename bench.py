@@ -122,11 +122,15 @@ def _run(n_rows):
                 return tot + bits.astype(jnp.int32)
 
             pops3 = jax.lax.fori_loop(0, bitcount, acc, m8s_pops)
-            # kernel's shard-local column = 32*(r*M8s + m) + bit, which for a
-            # single shard is exactly the row-major flatten of (r, m, bit);
-            # the synthetic bitplane bench therefore assumes one chip (real
-            # stores handle the multi-shard interleave on the host)
-            pops = pops3.reshape(-1)
+            # kernel's shard-local flat column = 32*(r*M8s + m_local) + bit:
+            # regroup the global (r, m, bit) accumulator shard-by-shard so
+            # each shard's slice of the flat pops matches its plane sub-rows
+            m8s_local = m8_padded // n_shards
+            pops = (
+                pops3.reshape(8, n_shards, m8s_local, 32)
+                .transpose(1, 0, 2, 3)
+                .reshape(-1)
+            )
             pops = jax.lax.with_sharding_constraint(pops, pops_sharding)
             return planes, pops
 

@@ -257,9 +257,18 @@ class FingerprintDB:
         if self.fold_factor > 1:
             # exact re-score of folded-scan candidates with full-width data,
             # then cutoff re-check + re-sort (reference :307-331)
-            vals = scores_np(
-                self._full_words[idx], query[None, :], similarity, alpha, beta
-            )[0]
+            try:
+                from ..utils import native
+
+                vals = native.rescore(
+                    self._full_words, idx, query, alpha, beta,
+                    tversky=similarity != TANIMOTO,
+                )
+            except ImportError:
+                vals = scores_np(
+                    self._full_words[idx], query[None, :], similarity, alpha,
+                    beta,
+                )[0]
 
         if cutoff > 0:
             keep = vals >= cutoff

@@ -43,6 +43,22 @@ except ImportError:  # pragma: no cover
 # Columns per lax.map step: 32 word-planes x 64Ki cols x 4 B = 8 MiB of
 # fingerprint data per chunk; per-query score slab B x 64Ki x 4 B stays small.
 DEFAULT_CHUNK_COLS = 65536
+
+# Trace-time record of which phase-1 implementation the last-compiled scan
+# actually used, keyed by scan mode: "pallas", "xla", or "small" (the
+# small-shard shortcut that bypasses two-phase selection entirely). Tests
+# assert on this so a requested-but-silently-bypassed Pallas path is visible.
+LAST_PHASE1_IMPL: dict[str, str] = {}
+
+
+def _record_phase1_impl(mode: str, impl: str) -> None:
+    LAST_PHASE1_IMPL[mode] = impl
+    if impl != "pallas":
+        import logging
+
+        logging.getLogger("tpusimilarity").debug(
+            "%s scan compiled with %s phase 1", mode, impl
+        )
 # Two-phase top-k granularity: candidate chunks are re-scored in blocks of
 # this many columns (256 KiB of packed data each).
 SELECT_BLOCK_COLS = 2048
@@ -343,6 +359,7 @@ def _local_scan_topk(
 
     # ---- small shard: single full pass with a direct top-k ----------------
     if n_blocks <= k_blocks or n_shard <= 2 * chunk:
+        _record_phase1_impl("dense", "small")
         kc = min(k, n_shard)
         if n_chunks == 1:
             scores = masked_scores(db, pops, 0, n_shard)
@@ -374,7 +391,9 @@ def _local_scan_topk(
         return vals, idx, cnt
 
     # ---- phase 1: per-block maxima + cutoff counts, streamed --------------
-    if use_pallas and p1_chunk % 128 == 0 and block == p1_chunk // 128:
+    dense_pallas_ok = use_pallas and p1_chunk % 128 == 0 and block == p1_chunk // 128
+    _record_phase1_impl("dense", "pallas" if dense_pallas_ok else "xla")
+    if dense_pallas_ok:
         from ..ops.pallas_scan import pallas_phase1
 
         block_max, cnt = pallas_phase1(
@@ -614,13 +633,25 @@ def _bitplane_local_topk(
             )
             return jnp.where(valid, s, NEG_INF)
 
-        # phase 1: per-block maxima + cutoff count, streamed
+        # phase 1: per-block maxima + cutoff count, streamed.
+        # VMEM bound: the kernel's double-buffered plane scratch is
+        # 2 * P * 8 * kernel_mc8 * 4 bytes, so scale the chunk width down
+        # with the query plane bucket to keep it <= 8 MiB of the ~16 MiB
+        # per-core VMEM (P > 256 at mc8=1024 fails Mosaic compilation);
+        # denser queries than P=1024 fall back to the XLA bitplane path.
+        raw = (8 << 20) // (2 * 8 * 4 * max(p, 1))
+        kernel_mc8 = min(1024, 1 << (raw.bit_length() - 1)) if raw else 0
         pallas_ok = (
             use_pallas
             and pops3 is not None
             and not small
             and bw8 == 8
+            and kernel_mc8 >= 128
             and m8s % 1024 == 0
+            and m8s % kernel_mc8 == 0
+        )
+        _record_phase1_impl(
+            "bitplane", "small" if small else ("pallas" if pallas_ok else "xla")
         )
         if pallas_ok:
             from ..ops.pallas_bitplane import pallas_bitplane_phase1
@@ -629,7 +660,8 @@ def _bitplane_local_topk(
                 planes, pops3, qidx, qpop, qcut,
                 jnp.stack([alpha, beta]).astype(jnp.float32),
                 shard_offset,
-                mc8=1024, bw8=bw8, n_valid=n_valid, similarity=similarity,
+                mc8=kernel_mc8, bw8=bw8, n_valid=n_valid,
+                similarity=similarity,
                 interpret=(jax.default_backend() == "cpu"),
             )
         else:

@@ -28,6 +28,7 @@ import html
 import json
 import logging
 import threading
+import urllib.parse
 from email.parser import BytesParser
 from email.policy import HTTP as HTTP_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -173,10 +174,10 @@ class SearchService:
 def _linkify(cid: str) -> str:
     safe = html.escape(cid)
     if cid.startswith("ZINC"):
-        return (
-            f"<a href=http://zinc.docking.org/substance/{html.escape(cid[4:])}>"
-            f"{safe}</a>"
-        )
+        # quoted attribute + URL-encoded fragment: html.escape alone leaves
+        # spaces unescaped, letting a hostile ID inject attributes/handlers
+        frag = urllib.parse.quote(cid[4:], safe="")
+        return f'<a href="http://zinc.docking.org/substance/{frag}">{safe}</a>'
     return safe
 
 

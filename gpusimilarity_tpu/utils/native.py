@@ -81,6 +81,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.tsn_rescore.restype = None
+    lib.tsn_rescore.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
 
 
 def available() -> bool:
@@ -161,6 +167,38 @@ def fold_rows(words: np.ndarray, fold: int) -> np.ndarray:
         raise ValueError("fold must divide word count")
     out = np.empty((n, w // fold), dtype=np.uint32)
     lib.tsn_fold_rows(_as_void(words), n, w, fold, _as_void(out), 0)
+    return out
+
+
+def rescore(
+    words: np.ndarray,
+    rows: np.ndarray,
+    query: np.ndarray,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    tversky: bool = False,
+) -> np.ndarray:
+    """Exact Tanimoto/Tversky scores of ``words[rows]`` against one query.
+
+    The folded-scan recovery path (reference re-scores candidates on CPU,
+    ``fingerprintdb_cuda.cu:307-331``): candidates are few (k * overfetch),
+    so a host popcount loop beats staging a gather onto the device.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    query = np.ascontiguousarray(query, dtype=np.uint32)
+    w = words.shape[1]
+    if query.shape != (w,):
+        raise ValueError(f"query must be ({w},) packed words")
+    qpop = int(np.bitwise_count(query).sum())
+    out = np.empty(len(rows), dtype=np.float32)
+    lib.tsn_rescore(
+        _as_void(words), w, _as_void(rows), len(rows), _as_void(query),
+        qpop, alpha, beta, 1 if tversky else 0, _as_void(out),
+    )
     return out
 
 
