@@ -536,6 +536,23 @@ def build_search_fn(
     del batch
     return search
 
+def _bitplane_kernel_mc8(p: int) -> int:
+    """Chunk width (in sub-words) for the Pallas bitplane kernel at plane
+    bucket ``p``.
+
+    The kernel's double-buffered plane scratch is ``2 * p * 8 * mc8 * 4``
+    bytes of VMEM; scale ``mc8`` down with the query plane bucket so the
+    scratch stays within an 8 MiB budget of the ~16 MiB per-core VMEM
+    (bucket >= 256 at the old fixed mc8=1024 failed Mosaic compilation at
+    serve time). Returns 0 when even mc8=128 would not fit (p > 1024):
+    callers fall back to the XLA bitplane path.
+    """
+    raw = (8 << 20) // (2 * 8 * 4 * max(p, 1))
+    if raw < 128:
+        return 0
+    return min(1024, 1 << (raw.bit_length() - 1))
+
+
 def _bitplane_local_topk(
     planes,  # uint32 (bitcount+1, M_shard)
     pops,  # int32 (Ns,)
@@ -633,14 +650,8 @@ def _bitplane_local_topk(
             )
             return jnp.where(valid, s, NEG_INF)
 
-        # phase 1: per-block maxima + cutoff count, streamed.
-        # VMEM bound: the kernel's double-buffered plane scratch is
-        # 2 * P * 8 * kernel_mc8 * 4 bytes, so scale the chunk width down
-        # with the query plane bucket to keep it <= 8 MiB of the ~16 MiB
-        # per-core VMEM (P > 256 at mc8=1024 fails Mosaic compilation);
-        # denser queries than P=1024 fall back to the XLA bitplane path.
-        raw = (8 << 20) // (2 * 8 * 4 * max(p, 1))
-        kernel_mc8 = min(1024, 1 << (raw.bit_length() - 1)) if raw else 0
+        # phase 1: per-block maxima + cutoff count, streamed
+        kernel_mc8 = _bitplane_kernel_mc8(p)
         pallas_ok = (
             use_pallas
             and pops3 is not None

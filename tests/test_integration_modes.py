@@ -126,9 +126,16 @@ class TestPallasBitplane:
         )
         assert pal._store.pops3 is not None
         words = data.packed_words()
+        from gpusimilarity_tpu.parallel import sharded
+
+        sharded.LAST_PHASE1_IMPL.clear()
         a = xla.search(words[31337], k=20, cutoff=0.1, dbkey="pb")
         b = pal.search(words[31337], k=20, cutoff=0.1, dbkey="pb")
+        assert sharded.LAST_PHASE1_IMPL["bitplane"] == "pallas"
         assert a.scores == b.scores
         assert a.ids == b.ids
         assert a.approximate_count == b.approximate_count
         assert b.scores[0] == 1.0
+        # (dense-query / plane-bucket-256 VMEM scaling is covered at kernel
+        # level in tests/test_pallas.py::TestBitplaneKernelMc8 — an
+        # engine-level interpret run at that bucket costs minutes)

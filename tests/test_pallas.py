@@ -95,6 +95,53 @@ class TestPallasPhase1:
         assert int(cnt[0]) == 200
         assert np.asarray(bmax)[0, 50:].max() == -np.inf  # cols >=200 invalid, block=4
 
+    def test_bitplane_kernel_mc8_scaling(self, rng):
+        """Dense query (plane bucket 256) runs the bitplane kernel at the
+        VMEM-scaled chunk width mc8=512 and still matches the oracle."""
+        from gpusimilarity_tpu.ops.bitplane import (
+            build_bitplanes_np, query_plane_indices,
+        )
+        from gpusimilarity_tpu.ops.pallas_bitplane import (
+            build_pops3, pallas_bitplane_phase1,
+        )
+        from gpusimilarity_tpu.parallel.sharded import _bitplane_kernel_mc8
+
+        m8s, n = 512, 131072  # single-shard layout, exactly full
+        words = make_db(rng, n, density=0.08)
+        planes = build_bitplanes_np(
+            np.ascontiguousarray(words).view(np.uint8), n
+        )
+        planes = np.concatenate(
+            [planes, np.zeros((1, planes.shape[1]), np.uint32)]
+        )
+        # single-shard sub-row interleave (build_bitplane_store, n_shards=1)
+        arranged = (
+            planes.reshape(1025, 8, m8s).reshape(1025 * 8, m8s)
+        )
+        pops = popcount_rows_np(words).astype(np.int32)
+        pops3 = np.asarray(build_pops3(pops, 1))
+
+        bits = np.zeros((1, 1024), np.uint8)
+        bits[0, rng.choice(1024, 200, replace=False)] = 1
+        q = np.packbits(bits, axis=1, bitorder="little").view(np.uint32)
+        plane_idx, bucket = query_plane_indices(q, 1024)
+        assert bucket == 256
+        mc8 = _bitplane_kernel_mc8(bucket)
+        assert mc8 == 512
+        qpop = int(popcount_rows_np(q)[0])
+
+        block_max, cnt = pallas_bitplane_phase1(
+            jnp.asarray(arranged), jnp.asarray(pops3),
+            jnp.asarray(plane_idx[0]), jnp.int32(qpop), jnp.float32(0.05),
+            jnp.asarray(np.ones(2, np.float32)), jnp.int32(0),
+            mc8=mc8, bw8=8, n_valid=n, interpret=True,
+        )
+        s = scores_np(words, q)[0]
+        # block j = max over sub-rows r, words u in [8j, 8j+8), bits b
+        ref_bmax = s.reshape(8, m8s // 8, 8, 32).max(axis=(0, 2, 3))
+        np.testing.assert_allclose(np.asarray(block_max), ref_bmax, rtol=1e-6)
+        assert int(cnt) == int((s >= 0.05).sum())
+
     def test_tversky_mode(self, rng):
         n = 1024
         words = make_db(rng, n)

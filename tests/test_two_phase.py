@@ -1,0 +1,120 @@
+"""Engine-level coverage of the production two-phase scan paths.
+
+Round-1 review finding: every dense engine-level test fell into the
+small-shard shortcut in ``parallel/sharded._local_scan_topk``, so the
+streaming phase-1/phase-2 code that runs on every real 96M-row query was
+covered only by kernel unit tests. These cases pin geometries where the
+two-phase branch provably compiles and runs (asserted through the
+trace-time ``LAST_PHASE1_IMPL`` record, so a silently-bypassed Pallas
+request fails loudly), and check exact agreement with the numpy oracle —
+a deliberately broken phase-2 would change scores and fail here.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gpusimilarity_tpu.models import FingerprintDB
+from gpusimilarity_tpu.ops.scan import scores_np
+from gpusimilarity_tpu.parallel import sharded
+from gpusimilarity_tpu.parallel.mesh import make_mesh
+
+from conftest import random_fingerprint_data
+
+QUERIES = (5, 40000, 65535)
+CUTOFFS = (0.0, 0.1, 0.2)
+
+
+def oracle_topk(words, q, k):
+    """Exact scores + lowest-index tie-broken top-k order."""
+    s = scores_np(words, q[None, :])[0]
+    order = np.lexsort((np.arange(len(s)), -s))[:k]
+    return s, order
+
+
+def assert_exact(result, words, qi, k, cutoff):
+    s, order = oracle_topk(words, words[qi], k)
+    if cutoff > 0:
+        order = order[s[order] >= cutoff]
+    assert result.scores == [float(v) for v in s[order]]
+    assert result.approximate_count == int((s >= cutoff).sum())
+    # every returned id's true score must equal its reported score (ids may
+    # differ from the oracle order only at exact-score ties)
+    for rid, rs in zip(result.ids, result.scores):
+        assert float(s[int(rid[4:])]) == rs  # ids are TEST%08d
+    return order
+
+
+class TestDenseTwoPhase:
+    @pytest.fixture(scope="class")
+    def data(self):
+        return random_fingerprint_data(
+            np.random.default_rng(42), count=65536, dbkey="tp"
+        )
+
+    @pytest.fixture(scope="class")
+    def mesh2(self):
+        return make_mesh(jax.devices()[:2])
+
+    @pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
+    def test_two_phase_matches_oracle(self, data, mesh2, use_pallas):
+        # 32768 cols/shard with chunk 8192: n_shard > 2*chunk and
+        # n_blocks (16 XLA / 512 Pallas) > k_blocks (10) => two-phase branch
+        db = FingerprintDB(
+            data, mesh=mesh2, chunk_cols=8192, use_pallas=use_pallas
+        )
+        words = data.packed_words()
+        sharded.LAST_PHASE1_IMPL.clear()
+        results = db.search_batch(
+            words[list(QUERIES)], k=10, cutoff=list(CUTOFFS), dbkey="tp"
+        )
+        assert sharded.LAST_PHASE1_IMPL["dense"] == (
+            "pallas" if use_pallas else "xla"
+        )
+        for qi, cutoff, r in zip(QUERIES, CUTOFFS, results):
+            order = assert_exact(r, words, qi, 10, cutoff)
+            # dense selection tie-breaks by lowest index, exactly like the
+            # oracle: ids must match the oracle order, not just its scores
+            assert [int(i[4:]) for i in r.ids] == [int(x) for x in order]
+
+    def test_two_phase_self_query_rank0(self, data, mesh2):
+        db = FingerprintDB(data, mesh=mesh2, chunk_cols=8192)
+        words = data.packed_words()
+        r = db.search(words[12345], k=5, dbkey="tp")
+        assert r.scores[0] == 1.0
+        assert r.ids[0] == "TEST00012345"
+
+
+class TestBitplaneTwoPhase:
+    def test_two_phase_matches_oracle(self):
+        # single-device mesh: 40960 padded cols -> n_blocks=20 > k_blocks=8
+        # (the old 8-shard geometry gave n_blocks=4 <= k_blocks: small path)
+        mesh1 = make_mesh(jax.devices()[:1])
+        data = random_fingerprint_data(
+            np.random.default_rng(9), count=40000, dbkey="tp"
+        )
+        db = FingerprintDB(
+            data, mesh=mesh1, scan_mode="bitplane", chunk_cols=8192
+        )
+        words = data.packed_words()
+        sharded.LAST_PHASE1_IMPL.clear()
+        results = db.search_batch(
+            words[[31337, 0]], k=8, cutoff=[0.0, 0.15], dbkey="tp"
+        )
+        assert sharded.LAST_PHASE1_IMPL["bitplane"] == "xla"
+        for qi, cutoff, r in zip((31337, 0), (0.0, 0.15), results):
+            assert_exact(r, words, qi, 8, cutoff)
+        assert len(results[0].scores) == 8
+
+
+class TestKernelMc8:
+    def test_vmem_scaling(self):
+        # scratch 2*p*8*mc8*4 bytes must stay <= 8 MiB for every bucket
+        for p, expect in [
+            (16, 1024), (64, 1024), (128, 1024), (256, 512),
+            (512, 256), (1024, 128), (2048, 0),
+        ]:
+            mc8 = sharded._bitplane_kernel_mc8(p)
+            assert mc8 == expect, (p, mc8)
+            if mc8:
+                assert 2 * p * 8 * mc8 * 4 <= 8 << 20
