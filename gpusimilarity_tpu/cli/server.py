@@ -53,6 +53,11 @@ def parse_args(argv=None):
         help="use the hand-written Pallas TPU kernels",
     )
     parser.add_argument(
+        "--no_warmup", action="store_true",
+        help="skip precompiling the common search shapes at startup (the "
+        "first live query then pays the XLA compile)",
+    )
+    parser.add_argument(
         "--jax_profiler_port", default=0, type=int,
         help="start the JAX profiler server (TensorBoard-attachable) on this port",
     )
@@ -108,6 +113,8 @@ def main(argv=None):
         scan_mode=scan_mode,
         use_pallas=use_pallas,
     )
+    if not args.no_warmup:
+        registry.warmup()
     server = SimilarityServer(
         registry,
         hostname=args.hostname,

@@ -44,6 +44,16 @@ def _batch_bucket(b: int) -> int:
     return -(-b // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
 
 
+def _k_bucket(k_fetch: int, count: int) -> int:
+    """Round the candidate fetch width up to a power of two with a floor of
+    128 (capped at the row count) so every ``return_count`` a client picks
+    maps onto a handful of compiled programs instead of one XLA program per
+    novel k — remote TPU compiles cost minutes, and serving saw one per
+    distinct k. Fetching 128 candidates is free next to the scan itself."""
+    bucket = max(128, 1 << (max(k_fetch, 1) - 1).bit_length())
+    return min(bucket, count)
+
+
 class FingerprintDB:
     """One fingerprint library resident on the device mesh."""
 
@@ -99,6 +109,9 @@ class FingerprintDB:
                 chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
             )
         self._search_fns: dict = {}
+        # distinct compiled search programs (bucketed batch x bucketed k x
+        # similarity x plane bucket); /stats exposes the registry-wide sum
+        self.compile_count = 0
 
     # ------------------------------------------------------------------ info
 
@@ -142,7 +155,29 @@ class FingerprintDB:
                     use_pallas=self.use_pallas,
                 )
             self._search_fns[key] = fn
+            self.compile_count += 1
         return fn
+
+    def warmup(self, ks: Sequence[int] = (20, 128)) -> None:
+        """Precompile the common single-query search shapes.
+
+        Remote XLA compiles cost minutes in production; without this the
+        first real query after startup eats the compile (the HTTP layer's
+        503-until-ready is a stopgap, not a fix). Uses a real library row
+        when available so the bitplane plane bucket matches live traffic.
+        """
+        if self.count == 0:
+            return
+        if self._full_words is not None:
+            query = np.array(self._full_words[0])
+        else:
+            rng = np.random.default_rng(0)
+            bits = np.zeros(self.bitcount, np.uint8)
+            nset = min(48, self.bitcount)
+            bits[rng.choice(self.bitcount, nset, replace=False)] = 1
+            query = np.packbits(bits, bitorder="little").view(np.uint32)
+        for k in ks:
+            self.search(query, k=min(int(k), self.count), dbkey=self.dbkey)
 
     def search(
         self,
@@ -198,7 +233,9 @@ class FingerprintDB:
 
         ks = np.minimum(ks, self.count)
         k_max = int(ks.max())
-        k_fetch = min(fold_ops.overfetch_count(k_max, self.fold_factor), self.count)
+        k_fetch = _k_bucket(
+            fold_ops.overfetch_count(k_max, self.fold_factor), self.count
+        )
 
         bucket = _batch_bucket(b)
         padded = np.zeros((bucket, self.word_count), dtype=np.uint32)

@@ -132,6 +132,14 @@ class DatabaseRegistry:
     def __contains__(self, name: str) -> bool:
         return name in self._dbs
 
+    def warmup(self, ks: Sequence[int] = (20, 128)) -> None:
+        """Precompile each database's common search shapes (see
+        ``FingerprintDB.warmup``); called at server start unless disabled."""
+        for name, db in self._dbs.items():
+            t0 = time.monotonic()
+            db.warmup(ks=ks)
+            log.info("warmed up %s (%.2fs)", name, time.monotonic() - t0)
+
     def stats(self) -> dict:
         return {
             "databases": {
@@ -147,6 +155,9 @@ class DatabaseRegistry:
             },
             "searches": self.search_count,
             "total_search_seconds": round(self.total_search_seconds, 6),
+            "compiled_programs": sum(
+                db.compile_count for db in self._dbs.values()
+            ),
         }
 
     # ----------------------------------------------------------------- search

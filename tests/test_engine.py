@@ -254,3 +254,37 @@ class TestMergeResults:
         b = SearchResult(smiles=["C"], ids=["B"], scores=[0.3])
         m = merge_results([a, b], k=2)
         assert m.ids[0] == "A;:;B"
+
+
+class TestCompileBuckets:
+    """Per-k recompile fix: k_fetch is bucketed so a return_count sweep maps
+    onto a handful of compiled programs, and warmup precompiles them."""
+
+    def test_k_sweep_compiles_at_most_two_programs(self, rng):
+        from conftest import random_fingerprint_data
+
+        data = random_fingerprint_data(rng, count=3000)
+        db = FingerprintDB(data)
+        words = data.packed_words()
+        results = {}
+        for k in range(1, 201, 13):
+            r = db.search(words[5], k=k, dbkey="")
+            assert len(r) == k  # truncation honors the requested k exactly
+            assert r.scores[0] == 1.0
+            results[k] = r
+        assert db.compile_count <= 4, db.compile_count
+        # bucketed fetches return identical prefixes
+        assert results[27].ids[:14] == results[14].ids
+
+    def test_warmup_precompiles_common_shapes(self, rng):
+        from conftest import random_fingerprint_data
+
+        data = random_fingerprint_data(rng, count=500, dbkey="w")
+        db = FingerprintDB(data)
+        db.warmup()
+        compiled = db.compile_count
+        assert compiled >= 1
+        q = data.packed_words()[3]
+        db.search(q, k=20, dbkey="w")
+        db.search(q, k=128, dbkey="w")
+        assert db.compile_count == compiled  # warm shapes: no new programs

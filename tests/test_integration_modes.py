@@ -117,8 +117,11 @@ class TestPallasBitplane:
         from gpusimilarity_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(jax.devices()[:1])
+        # 524288 cols: n_blocks=256 > the 128-candidate k_fetch bucket, so
+        # the engine reaches the two-phase branch and the Pallas kernel
+        # (262144 cols would land in the small-path shortcut)
         data = random_fingerprint_data(
-            np.random.default_rng(5), count=262144, dbkey="pb"
+            np.random.default_rng(5), count=524288, dbkey="pb"
         )
         xla = FingerprintDB(data, mesh=mesh, scan_mode="bitplane")
         pal = FingerprintDB(

@@ -19,9 +19,23 @@ from gpusimilarity_tpu.ops.scan import scores_np
 from gpusimilarity_tpu.parallel import sharded
 from gpusimilarity_tpu.parallel.mesh import make_mesh
 
-from conftest import random_fingerprint_data
+def random_fingerprint_data(rng, count, dbkey):
+    """Like conftest.random_fingerprint_data but float32 generation: the
+    700k-row geometries here would otherwise spend ~30 s building 5.6 GB of
+    float64 uniforms."""
+    from gpusimilarity_tpu.utils.fsim import FingerprintData
 
-QUERIES = (5, 40000, 65535)
+    bits = rng.random((count, 1024), dtype=np.float32) < 0.1
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    smiles = [f"C{'C' * (i % 7)}N{i}".encode() for i in range(count)]
+    ids = [f"TEST{i:08d}".encode() for i in range(count)]
+    return FingerprintData(
+        dbkey=dbkey, bitcount=1024, fingerprints=packed, smiles=smiles,
+        ids=ids,
+    )
+
+
+QUERIES = (5, 400000, 699999)
 CUTOFFS = (0.0, 0.1, 0.2)
 
 
@@ -49,7 +63,7 @@ class TestDenseTwoPhase:
     @pytest.fixture(scope="class")
     def data(self):
         return random_fingerprint_data(
-            np.random.default_rng(42), count=65536, dbkey="tp"
+            np.random.default_rng(42), count=700000, dbkey="tp"
         )
 
     @pytest.fixture(scope="class")
@@ -58,8 +72,9 @@ class TestDenseTwoPhase:
 
     @pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
     def test_two_phase_matches_oracle(self, data, mesh2, use_pallas):
-        # 32768 cols/shard with chunk 8192: n_shard > 2*chunk and
-        # n_blocks (16 XLA / 512 Pallas) > k_blocks (10) => two-phase branch
+        # 350k cols/shard with chunk 8192: n_shard > 2*chunk and
+        # n_blocks (~171 XLA / ~5470 Pallas) > k_blocks (the k_fetch bucket
+        # floor of 128) => the streaming two-phase branch
         db = FingerprintDB(
             data, mesh=mesh2, chunk_cols=8192, use_pallas=use_pallas
         )
@@ -80,29 +95,30 @@ class TestDenseTwoPhase:
     def test_two_phase_self_query_rank0(self, data, mesh2):
         db = FingerprintDB(data, mesh=mesh2, chunk_cols=8192)
         words = data.packed_words()
-        r = db.search(words[12345], k=5, dbkey="tp")
+        r = db.search(words[123456], k=5, dbkey="tp")
         assert r.scores[0] == 1.0
-        assert r.ids[0] == "TEST00012345"
+        assert r.ids[0] == "TEST00123456"
 
 
 class TestBitplaneTwoPhase:
     def test_two_phase_matches_oracle(self):
-        # single-device mesh: 40960 padded cols -> n_blocks=20 > k_blocks=8
-        # (the old 8-shard geometry gave n_blocks=4 <= k_blocks: small path)
+        # single-device mesh: ~600k padded cols -> n_blocks ~294 >
+        # k_blocks (the 128 k_fetch bucket); the old 8-shard geometry
+        # gave n_blocks=4 <= k_blocks and landed in the small path
         mesh1 = make_mesh(jax.devices()[:1])
         data = random_fingerprint_data(
-            np.random.default_rng(9), count=40000, dbkey="tp"
+            np.random.default_rng(9), count=600000, dbkey="tp"
         )
         db = FingerprintDB(
-            data, mesh=mesh1, scan_mode="bitplane", chunk_cols=8192
+            data, mesh=mesh1, scan_mode="bitplane", chunk_cols=65536
         )
         words = data.packed_words()
         sharded.LAST_PHASE1_IMPL.clear()
         results = db.search_batch(
-            words[[31337, 0]], k=8, cutoff=[0.0, 0.15], dbkey="tp"
+            words[[331337, 0]], k=8, cutoff=[0.0, 0.15], dbkey="tp"
         )
         assert sharded.LAST_PHASE1_IMPL["bitplane"] == "xla"
-        for qi, cutoff, r in zip((31337, 0), (0.0, 0.15), results):
+        for qi, cutoff, r in zip((331337, 0), (0.0, 0.15), results):
             assert_exact(r, words, qi, 8, cutoff)
         assert len(results[0].scores) == 8
 
