@@ -89,8 +89,11 @@ def build_database(
         )
     else:
         matrix = np.zeros((0, BITCOUNT // 8), np.uint8)
+    from ..utils.fingerprints import generator_tag
+
     return FingerprintData(
-        dbkey=dbkey, bitcount=BITCOUNT, fingerprints=matrix, smiles=smiles, ids=ids
+        dbkey=dbkey, bitcount=BITCOUNT, fingerprints=matrix, smiles=smiles,
+        ids=ids, generator=generator_tag(),
     )
 
 

@@ -80,6 +80,7 @@ class FingerprintDB:
         self.use_pallas = use_pallas
         self.dbkey = data.dbkey
         self.bitcount = data.bitcount
+        self.generator = data.generator  # provenance tag ("" = unknown)
         self._smiles = data.smiles
         self._ids = data.ids
         full = data.packed_words()

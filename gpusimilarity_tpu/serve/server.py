@@ -42,6 +42,7 @@ from ..utils.fingerprints import (
     BITCOUNT,
     FingerprintError,
     fingerprint_bin_to_words,
+    generator_tag,
     smiles_to_query_words,
 )
 from .batching import BatchingSearcher
@@ -125,6 +126,25 @@ class SearchService:
 
         src_smiles = form.get("smiles", "").strip()
         fp_hex = form.get("fp_hex", "").strip()
+        if src_smiles and not fp_hex:
+            # provenance guard: a SMILES query is fingerprinted by THIS
+            # process's generator; a database tagged with a different
+            # generator would return quietly wrong neighbors (RDKit and the
+            # built-in Morgan set different bits by design). Untagged DBs
+            # (e.g. reference-built .fsim files) are not checked. Raw
+            # fp_hex queries bypass the check — the caller owns the bits.
+            mine = generator_tag()
+            for name in dbnames:
+                if name not in self.registry:
+                    continue
+                theirs = self.registry.get(name).generator
+                if theirs and theirs != mine:
+                    raise RequestError(
+                        f"database {name!r} was built with fingerprint "
+                        f"generator {theirs!r} but this server generates "
+                        f"{mine!r}; results would be meaningless. Re-fetch "
+                        "with fp_hex, or serve with a matching generator."
+                    )
         if fp_hex:
             try:
                 query = fingerprint_bin_to_words(bytes.fromhex(fp_hex))

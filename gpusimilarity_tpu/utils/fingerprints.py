@@ -28,6 +28,19 @@ class FingerprintError(RuntimeError):
     """Raised when a SMILES cannot be converted to a fingerprint."""
 
 
+def generator_tag(bitcount: int = BITCOUNT, radius: int = RADIUS) -> str:
+    """Provenance tag of the fingerprint generator active in this process.
+
+    The RDKit Morgan bits and the built-in fallback's bits are NOT
+    compatible (``morgan.py`` hashes differently by design): a query
+    fingerprinted by one against a library built by the other returns
+    quietly wrong neighbors. Databases record this tag at build time and
+    the server refuses mismatched searches (round-1 review: nothing
+    recorded which generator built a DB).
+    """
+    return f"{'rdkit' if HAVE_RDKIT else 'builtin'}-morgan-r{radius}-{bitcount}"
+
+
 def smiles_to_fingerprint_bin(
     smiles: str,
     trust_smiles: bool = False,

@@ -71,6 +71,10 @@ class FingerprintData:
     )
     smiles: Sequence[bytes] = field(default_factory=list)
     ids: Sequence[bytes] = field(default_factory=list)
+    # provenance tag of the fingerprint generator that built this data
+    # (``fingerprints.generator_tag()``); "" = unknown (e.g. a reference-
+    # built .fsim, which is always RDKit)
+    generator: str = ""
 
     @property
     def count(self) -> int:
@@ -186,9 +190,36 @@ def read_fsim(
         fingerprints=fingerprints,
         smiles=smiles,
         ids=ids,
+        generator=_read_fsim_sidecar(path).get("generator", ""),
     )
     data.validate()
     return data
+
+
+def _sidecar_path(path: str | os.PathLike) -> str:
+    return f"{path}.meta.json"
+
+
+def _read_fsim_sidecar(path: str | os.PathLike) -> dict:
+    """The v3 byte format has no room for new fields, so builder metadata
+    (currently the fingerprint-generator tag) rides in an optional
+    ``<name>.fsim.meta.json`` sidecar. Reference-built files have none."""
+    import json
+
+    try:
+        with open(_sidecar_path(path)) as f:
+            meta = json.load(f)
+        return meta if isinstance(meta, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_fsim_sidecar(path: str | os.PathLike, data: FingerprintData) -> None:
+    import json
+
+    if data.generator:
+        with open(_sidecar_path(path), "w") as f:
+            json.dump({"generator": data.generator}, f)
 
 
 def _chunk_rows(total_rows: int, row_bytes: int, limit: int) -> list[tuple[int, int]]:
@@ -260,6 +291,7 @@ def write_fsim(
     with open(tmp, "wb") as f:
         f.write(w.getvalue())
     os.replace(tmp, path)
+    _write_fsim_sidecar(path, data)
 
 
 def merge_fsim(
@@ -282,7 +314,8 @@ def merge_fsim(
         d = read_fsim(p)
         if merged is None:
             merged = FingerprintData(
-                dbkey=d.dbkey, bitcount=d.bitcount, smiles=[], ids=[]
+                dbkey=d.dbkey, bitcount=d.bitcount, smiles=[], ids=[],
+                generator=d.generator,
             )
         else:
             if d.bitcount != merged.bitcount:
@@ -293,6 +326,12 @@ def merge_fsim(
                 raise ValueError(
                     f"dbkey mismatch ({d.dbkey!r} != {merged.dbkey!r}); pass an "
                     "explicit dbkey to override"
+                )
+            if d.generator != merged.generator:
+                raise ValueError(
+                    "can't merge databases built by different fingerprint "
+                    f"generators ({d.generator or 'unknown'!r} != "
+                    f"{merged.generator or 'unknown'!r})"
                 )
         fps.append(d.fingerprints)
         merged.smiles.extend(d.smiles)

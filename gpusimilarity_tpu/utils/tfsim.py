@@ -54,6 +54,7 @@ def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
                     "dbkey": data.dbkey,
                     "bitcount": data.bitcount,
                     "count": data.count,
+                    "generator": data.generator,
                 }
             )
         )
@@ -90,6 +91,7 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
         fingerprints=fingerprints,
         smiles=tables["smiles"],
         ids=tables["ids"],
+        generator=meta.get("generator", ""),
     )
     if data.count != meta["count"]:
         raise ValueError(

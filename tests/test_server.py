@@ -377,3 +377,80 @@ class TestCLIs:
         )
         out = capsys.readouterr().out
         assert "CMPD0000" in out and "1.0000" in out
+
+
+class TestProvenanceGuard:
+    """A SMILES query against a DB built by a different fingerprint
+    generator must 400, not return quietly wrong neighbors."""
+
+    @pytest.fixture(scope="class")
+    def reg(self):
+        from gpusimilarity_tpu.utils.fingerprints import generator_tag
+
+        other = "rdkit" if generator_tag().startswith("builtin") else "builtin"
+        foreign = corpus_data()
+        foreign.generator = f"{other}-morgan-r2-1024"
+        local = corpus_data()
+        local.generator = generator_tag()
+        untagged = corpus_data()
+        registry = DatabaseRegistry()
+        registry.add("foreign", foreign)
+        registry.add("local", local)
+        registry.add("untagged", untagged)
+        return registry
+
+    def test_mismatch_rejected_matching_and_untagged_pass(self, reg):
+        from gpusimilarity_tpu.serve.server import SearchService
+
+        svc = SearchService(reg, window_ms=1.0)
+        try:
+            with pytest.raises(RequestError, match="generator"):
+                svc.handle_search({"smiles": "CCO", "dbnames": "foreign"})
+            for name in ("local", "untagged"):
+                out = svc.handle_search({"smiles": "CCO", "dbnames": name})
+                assert out["results"]
+            # raw fingerprints bypass the guard: the caller owns the bits
+            fp, _ = smiles_to_fingerprint_bin("CCO")
+            out = svc.handle_search(
+                {"fp_hex": fp.hex(), "dbnames": "foreign"}
+            )
+            assert out["results"]
+        finally:
+            svc.close()
+
+    def test_generator_survives_fsim_and_tfsim_roundtrip(self, tmp_path):
+        from gpusimilarity_tpu.utils.fsim import read_fsim
+        from gpusimilarity_tpu.utils.tfsim import load_native, save_native
+
+        data = corpus_data()
+        data.generator = "rdkit-morgan-r2-1024"
+        write_fsim(tmp_path / "g.fsim", data)
+        assert (tmp_path / "g.fsim.meta.json").exists()
+        assert read_fsim(tmp_path / "g.fsim").generator == data.generator
+        save_native(tmp_path / "g.tfsim", data)
+        assert load_native(tmp_path / "g.tfsim").generator == data.generator
+        # untagged data writes no sidecar and reads back as unknown
+        write_fsim(tmp_path / "u.fsim", corpus_data())
+        assert not (tmp_path / "u.fsim.meta.json").exists()
+        assert read_fsim(tmp_path / "u.fsim").generator == ""
+
+    def test_merge_refuses_mixed_generators(self, tmp_path):
+        from gpusimilarity_tpu.utils.fsim import merge_fsim
+
+        a, b = corpus_data(), corpus_data()
+        a.generator = "rdkit-morgan-r2-1024"
+        b.generator = "builtin-morgan-r2-1024"
+        write_fsim(tmp_path / "a.fsim", a)
+        write_fsim(tmp_path / "b.fsim", b)
+        with pytest.raises(ValueError, match="generator"):
+            merge_fsim(
+                [tmp_path / "a.fsim", tmp_path / "b.fsim"],
+                tmp_path / "m.fsim",
+            )
+        a2 = corpus_data()
+        a2.generator = "rdkit-morgan-r2-1024"
+        write_fsim(tmp_path / "a2.fsim", a2)
+        merged = merge_fsim(
+            [tmp_path / "a.fsim", tmp_path / "a2.fsim"], tmp_path / "m.fsim"
+        )
+        assert merged.generator == "rdkit-morgan-r2-1024"
