@@ -15,6 +15,7 @@ engine for the built-in Morgan fingerprints in ``morgan.py``.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 # default valences for implicit-H perception (Daylight organic subset rules)
@@ -374,26 +375,7 @@ def canonical_ranks(mol: Molecule) -> list[int]:
         )
         for i, a in enumerate(mol.atoms)
     ]
-    ranks = _ranks_from_keys(inv)
-    for _ in range(n):
-        keys = []
-        for i in range(n):
-            neigh = sorted(
-                (mol.bonds[bi].order_value, ranks[mol.bonds[bi].other(i)])
-                for bi in mol.neighbors(i)
-            )
-            keys.append((ranks[i], tuple(neigh)))
-        new_ranks = _ranks_from_keys(keys)
-        if new_ranks == ranks:
-            break
-        ranks = new_ranks
-    # tie-break remaining symmetric atoms deterministically
-    while len(set(ranks)) < n:
-        # pick the lowest duplicated rank, split off its lowest-index atom
-        dup_rank = min(r for r in ranks if ranks.count(r) > 1)
-        chosen = min(i for i in range(n) if ranks[i] == dup_rank)
-        keys2 = [(r, 0 if i == chosen else 1) for i, r in enumerate(ranks)]
-        ranks = _ranks_from_keys(keys2)
+    def refine(ranks):
         for _ in range(n):
             keys = []
             for i in range(n):
@@ -406,7 +388,54 @@ def canonical_ranks(mol: Molecule) -> list[int]:
             if new_ranks == ranks:
                 break
             ranks = new_ranks
+        return ranks
+
+    ranks = refine(_ranks_from_keys(inv))
+    # Refinement can stall with tied-but-NONequivalent atoms, where an
+    # input-index tie-break would make the "canonical" string depend on
+    # input atom order (the same compound from two databases could then
+    # fail SMILES dedup in the cross-DB merge). Strengthen the invariants
+    # once with all-pairs (distance, rank) profiles: after that, remaining
+    # ties are — for chemical graphs — true automorphisms, where any
+    # tie-break choice yields the same output string.
+    if len(set(ranks)) < n:
+        dists = _all_pairs_dists(mol)
+        keys2 = [
+            (
+                ranks[i],
+                tuple(sorted(
+                    (dists[i][j], ranks[j]) for j in range(n) if j != i
+                )),
+            )
+            for i in range(n)
+        ]
+        ranks = refine(_ranks_from_keys(keys2))
+    # split remaining (automorphic) ties deterministically
+    while len(set(ranks)) < n:
+        dup_rank = min(r for r in ranks if ranks.count(r) > 1)
+        chosen = min(i for i in range(n) if ranks[i] == dup_rank)
+        keys2 = [(r, 0 if i == chosen else 1) for i, r in enumerate(ranks)]
+        ranks = refine(_ranks_from_keys(keys2))
     return ranks
+
+
+def _all_pairs_dists(mol: Molecule) -> list[list[int]]:
+    """Graph distances by BFS from every atom (disconnected pairs get a
+    large sentinel so they still compare deterministically)."""
+    n = len(mol.atoms)
+    out = []
+    for src in range(n):
+        dist = [n + 1] * n
+        dist[src] = 0
+        queue = deque([src])
+        while queue:
+            v = queue.popleft()
+            for u in mol.neighbor_atoms(v):
+                if dist[u] > dist[v] + 1:
+                    dist[u] = dist[v] + 1
+                    queue.append(u)
+        out.append(dist)
+    return out
 
 
 def _ranks_from_keys(keys) -> list[int]:

@@ -241,3 +241,65 @@ class TestParserFuzz:
             except SmilesError:
                 pass
         assert parsed > 50  # sanity: some random strings are valid
+
+
+class TestCanonicalPermutationInvariance:
+    """The canonical SMILES must not depend on input atom order — tied but
+    non-equivalent atoms used to fall back to input-index tie-breaks, so
+    the same compound from two databases could fail cross-DB SMILES dedup
+    (round-1 advisor finding)."""
+
+    def _permuted(self, mol, perm):
+        from gpusimilarity_tpu.utils.smiles import Atom, Bond, Molecule
+        import dataclasses
+
+        inv = [0] * len(perm)
+        for new, old in enumerate(perm):
+            inv[old] = new
+        atoms = []
+        for new, old in enumerate(perm):
+            a = dataclasses.replace(mol.atoms[old], index=new)
+            atoms.append(a)
+        bonds = [
+            Bond(a1=inv[b.a1], a2=inv[b.a2], order=b.order,
+                 aromatic=b.aromatic)
+            for b in mol.bonds
+        ]
+        out = Molecule(atoms=atoms, bonds=bonds)
+        for b_old, b_new in zip(mol.bonds, bonds):
+            b_new.in_ring = getattr(b_old, "in_ring", False)
+        return out
+
+    @pytest.mark.parametrize(
+        "smi",
+        [
+            "CC(C)CC1=CC=C(C=C1)C(C)C(=O)O",  # ibuprofen
+            "CC(=O)Oc1ccccc1C(=O)O",
+            "C[NH+](C)CC(=O)N1c2ccccc2Sc2ccccc21",
+            "OCC1OC(O)C(O)C(O)C1O",  # glucose-like
+            "CCN(CC)C(=O)C1CN(C)C2CC3=CNc4cccc(C2=C1)c34",  # LSD-like
+            "C1CC2CCC1CC2",  # bridged
+            "CC1=CC(=O)C=CC1=O",
+            # Frucht graph (cubic, trivial automorphism group): plain
+            # refinement stalls with ALL atoms tied yet none equivalent —
+            # the case where input-index tie-breaks gave order-dependent
+            # output before the distance-profile invariants
+            "C12C3C4C5C6C5C7C2C7C6C4C13",
+        ],
+    )
+    def test_atom_order_invariant(self, smi):
+        import random
+
+        from gpusimilarity_tpu.utils.smiles import (
+            canonical_ranks, parse_smiles, write_smiles,
+        )
+
+        mol = parse_smiles(smi)
+        base = write_smiles(mol)
+        rng = random.Random(7)
+        n = len(mol.atoms)
+        for _ in range(8):
+            perm = list(range(n))
+            rng.shuffle(perm)
+            pm = self._permuted(mol, perm)
+            assert write_smiles(pm) == base, (smi, perm)
