@@ -91,6 +91,7 @@ class SearchService:
     ):
         self.registry = registry
         self.searcher = BatchingSearcher(registry, max_batch, window_ms)
+        self._svg_cache: dict[str, str] = {}
 
     def close(self):
         self.searcher.close()
@@ -175,20 +176,44 @@ class SearchService:
         return _INDEX_TEMPLATE.format(dbnames=html.escape(names or "all"))
 
     def results_html(self, payload: dict) -> str:
+        """Debug HTML with inline-SVG structure depictions per result
+        (reference renders RDKit PNGs into a tempdir image cache,
+        ``gpusim_server.py:171-252``; inline SVG needs no files/escaping).
+        Depictions are memoized per canonical SMILES across requests."""
         rows = "\n".join(
-            "<tr><td>{}</td><td>{}</td><td>{:.4f}</td></tr>".format(
-                _linkify(cid), html.escape(smi), score
+            "<tr><td>{}</td><td>{}<br>{}</td><td>{:.4f}</td></tr>".format(
+                _linkify(cid), self._depict(smi), html.escape(smi), score
             )
             for cid, smi, score in payload["results"]
         )
+        query_smiles = payload.get("query_canonical") or payload.get("query", "")
+        query_cell = (
+            f"<p>Query: {self._depict(query_smiles)} "
+            f"{html.escape(query_smiles)}</p>"
+            if query_smiles
+            else ""
+        )
         return (
             self.index_html()
+            + query_cell
             + f"<p>Approximate Total Matching Compounds: "
             f"{payload['approximate_count']}, returning "
             f"{len(payload['results'])}</p>"
-            f"<table border=1><tr><th>ID</th><th>SMILES</th><th>Score</th></tr>"
+            f"<table border=1><tr><th>ID</th><th>Structure / SMILES</th>"
+            f"<th>Score</th></tr>"
             f"{rows}</table>"
         )
+
+    def _depict(self, smiles: str) -> str:
+        svg = self._svg_cache.get(smiles)
+        if svg is None:
+            from ..utils.depict import smiles_to_svg
+
+            svg = smiles_to_svg(smiles, size=160)
+            if len(self._svg_cache) > 4096:  # bound the memo like the
+                self._svg_cache.clear()  # reference's tempdir cache
+            self._svg_cache[smiles] = svg
+        return svg
 
 
 def _linkify(cid: str) -> str:
