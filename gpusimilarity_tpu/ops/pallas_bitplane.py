@@ -6,17 +6,24 @@ them and relayouts for the counter unpack (profiled ~5 ms per 64M-row query,
 ~3.5x the traffic bound). This kernel keeps the whole per-chunk pipeline in
 VMEM:
 
-* the query's P set-bit plane windows are fetched with manually
+* a whole query batch runs in ONE kernel launch on a ``(n_chunks, B)`` grid
+  (queries iterate fastest), so stripe DMAs for the next query prefetch
+  while the current query computes and the pops3 window is fetched once per
+  chunk and reused across all B queries — the round-1 version launched the
+  kernel once per query under ``lax.map``;
+* each query's P set-bit plane windows are fetched with manually
   double-buffered async DMAs from a single HBM ref (dynamic plane rows; an
   earlier variant passed the planes array once per plane so Pallas could
   pipeline them, which made XLA materialize P copies of the library);
 * the CSA tree runs on whole ``(8, mc8)`` registers;
 * instead of unpacking bit-sliced counters into per-column integers (a
   rank-3 relayout), scoring iterates the 32 lane-bit positions: for each bit
-  ``b`` the counter shift ``(c_j >> b) & 1`` rebuilds that bit-column's
-  counts as another perfect ``(8, mc8)`` tile, scores it against the
-  bit-rearranged popcount planes (``pops3``), and accumulates running
-  per-word maxima and cutoff counts;
+  ``b`` a single shift+mask per counter rebuilds that bit-column's counts as
+  another perfect ``(8, mc8)`` tile (``(c_j >> (b-j)) & (1 << j)``), which
+  is scored against the bit-rearranged popcount planes (``pops3``) into
+  running per-word maxima and cutoff counts. Tanimoto needs no division
+  guard beyond ``maximum(denom, 1)``: the denominator is a non-negative
+  integer and is zero only when the numerator is;
 * per-word maxima stream out as tile-aligned blocks; the tiny block-max
   reduction runs outside the kernel (Mosaic cannot shape-cast (8, mc8) to
   (8, bpc, bw8)).
@@ -40,64 +47,69 @@ from .scan import TANIMOTO
 NEG_INF = float("-inf")
 
 
-def _kernel(
-    idx_ref,  # SMEM (P,): query plane indices (sentinel = bitcount)
+def _batched_kernel(
+    idx_ref,  # SMEM (B, P): query plane indices (sentinel = bitcount)
     off_ref,  # SMEM (1,): shard's global column offset
     planes_ref,  # ANY/HBM ((bitcount+1)*8, M8s)
-    pops3_ref,  # VMEM (32, 8, mc8) pipelined window
-    qpop_ref,  # SMEM (1,)
-    cutoff_ref,  # SMEM (1,)
+    pops3_ref,  # VMEM (32, 8, mc8) pipelined window (per chunk)
+    qpop_ref,  # SMEM (B,)
+    cutoff_ref,  # SMEM (B,)
     ab_ref,  # SMEM (2,)
-    colmax_ref,  # out VMEM (8, mc8) per-word running maxima
-    cnt_ref,  # out VMEM (1, 128) lane-accumulated counts
+    colmax_ref,  # out VMEM (1, 8, mc8) per-(query, chunk) word maxima
+    cnt_ref,  # out VMEM (B, 128) lane-accumulated counts, grid-resident
     scratch_ref,  # VMEM (2, P, 8, mc8) double-buffered plane windows
     sems,  # DMA sems (2, P)
     *,
     n_valid: int,
     p: int,
+    b_total: int,
     m8s: int,
     n_chunks: int,
     similarity: str,
 ):
-    mc8 = colmax_ref.shape[1]
+    mc8 = colmax_ref.shape[2]
     ci = pl.program_id(0)
+    qb = pl.program_id(1)
+    step = ci * b_total + qb
 
-    def start_fetch(slot, chunk_idx):
+    def start_fetch(slot, chunk_idx, b_idx):
         for pi in range(p):
             pltpu.make_async_copy(
-                planes_ref.at[pl.ds(8 * idx_ref[pi], 8),
+                planes_ref.at[pl.ds(8 * idx_ref[b_idx, pi], 8),
                               pl.ds(chunk_idx * mc8, mc8)],
                 scratch_ref.at[slot, pi],
                 sems.at[slot, pi],
             ).start()
 
-    def wait_fetch(slot, chunk_idx):
+    def wait_fetch(slot, chunk_idx, b_idx):
         for pi in range(p):
             pltpu.make_async_copy(
-                planes_ref.at[pl.ds(8 * idx_ref[pi], 8),
+                planes_ref.at[pl.ds(8 * idx_ref[b_idx, pi], 8),
                               pl.ds(chunk_idx * mc8, mc8)],
                 scratch_ref.at[slot, pi],
                 sems.at[slot, pi],
             ).wait()
 
-    @pl.when(ci == 0)
+    @pl.when(step == 0)
     def _():
         cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
-        start_fetch(0, 0)
+        start_fetch(0, 0, 0)
 
-    @pl.when(ci + 1 < n_chunks)
+    nxt = step + 1
+
+    @pl.when(nxt < n_chunks * b_total)
     def _():
-        start_fetch((ci + 1) % 2, ci + 1)
+        start_fetch(nxt % 2, nxt // b_total, nxt % b_total)
 
-    wait_fetch(ci % 2, ci)
-    slot = ci % 2
+    wait_fetch(step % 2, ci, qb)
+    slot = step % 2
 
     counters = wallace_popcount_planes(
         [scratch_ref[slot, pi] for pi in range(p)]
     )
 
-    qpop = qpop_ref[0].astype(jnp.float32)
-    cutoff = cutoff_ref[0]
+    qpop = qpop_ref[qb].astype(jnp.float32)
+    cutoff = cutoff_ref[qb]
     alpha = ab_ref[0]
     beta = ab_ref[1]
 
@@ -110,39 +122,51 @@ def _kernel(
     bmax = jnp.full((8, mc8), NEG_INF, dtype=jnp.float32)
     count = jnp.zeros((8, mc8), dtype=jnp.int32)
     for b in range(32):
-        common = jnp.zeros((8, mc8), dtype=jnp.int32)
+        # bit b of counter j, already in place at weight 2**j: one shift +
+        # one mask per counter (vs shift/mask/shift of the naive unpack)
+        common = jnp.zeros((8, mc8), dtype=jnp.uint32)
         for j, cj in enumerate(counters):
-            common = common + (
-                ((cj >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int32) << j
-            )
-        cf = common.astype(jnp.float32)
+            if b >= j:
+                picked = (cj >> jnp.uint32(b - j)) & jnp.uint32(1 << j)
+            else:
+                picked = (cj << jnp.uint32(j - b)) & jnp.uint32(1 << j)
+            common = common | picked
+        # Mosaic has no uint32->f32 cast; the int32 hop is a free bitcast
+        # (counts are < 2**len(counters))
+        cf = common.astype(jnp.int32).astype(jnp.float32)
         pop = pops3_ref[b, :, :].astype(jnp.float32)
         if similarity == TANIMOTO:
-            denom = qpop + pop - cf
+            # denom is a non-negative integer and is 0 only when cf is 0
+            # (common <= min(qpop, pop)), so max(denom, 1) never changes a
+            # real score and avoids 0/0 for empty (padded) queries
+            s = cf / jnp.maximum(qpop + pop - cf, 1.0)
         else:
             denom = alpha * (qpop - cf) + beta * (pop - cf) + cf
-        s = jnp.where(denom > 0, cf / denom, 0.0)
-        s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
+            s = jnp.where(denom > 0, cf / jnp.maximum(denom, 1e-30), 0.0)
         s = jnp.where(col_base + b < n_valid, s, NEG_INF)
         bmax = jnp.maximum(bmax, s)
         count = count + (s >= cutoff).astype(jnp.int32)
 
-    colmax_ref[:, :] = bmax
+    colmax_ref[0, :, :] = bmax
     cnt_total = jnp.sum(count, keepdims=False)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == (ci % 128)
-    cnt_ref[:, :] += jnp.where(lane, cnt_total, 0)
+    hit = (
+        jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 0) == qb
+    ) & (
+        jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 1) == (ci % 128)
+    )
+    cnt_ref[:, :] += jnp.where(hit, cnt_total, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mc8", "bw8", "n_valid", "similarity", "interpret"),
 )
-def pallas_bitplane_phase1(
+def pallas_bitplane_phase1_batched(
     planes,  # uint32 ((bitcount+1)*8, M8s)
     pops3,  # int32 (32, 8, M8s)
-    plane_idx,  # int32 (P,)
-    query_pop,  # int32 scalar array
-    cutoff,  # f32 scalar array
+    plane_idx,  # int32 (B, P)
+    query_pops,  # int32 (B,)
+    cutoffs,  # f32 (B,)
     alpha_beta,  # f32 (2,)
     shard_offset,  # i32 scalar
     *,
@@ -152,9 +176,15 @@ def pallas_bitplane_phase1(
     similarity: str = TANIMOTO,
     interpret: bool = False,
 ):
-    """Returns (block_max f32[n_blocks], count i32[]) for ONE query."""
+    """Returns (block_max f32[B, n_blocks], counts i32[B],
+    colmax f32[B, 8, M8s]) for a batch.
+
+    ``colmax[b, r, w]`` is query b's max score over the 32 columns of
+    sub-row r, word w — the selection layer uses it to pick top-k *words*
+    within the selected blocks, so the exact rescore touches k words x 32
+    columns instead of re-scanning whole blocks."""
     n_rows, m8s = planes.shape
-    p = plane_idx.shape[0]
+    b_total, p = plane_idx.shape
     if m8s % mc8 or mc8 % bw8:
         raise ValueError(f"bad geometry (m8s={m8s}, mc8={mc8}, bw8={bw8})")
     n_chunks = m8s // mc8
@@ -162,22 +192,27 @@ def pallas_bitplane_phase1(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(n_chunks, b_total),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
             pl.BlockSpec(
-                (32, 8, mc8), lambda i, idx, off: (0, 0, i),
+                (32, 8, mc8), lambda ci, qb, idx, off: (0, 0, ci),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # qpop
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cutoff
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # qpops
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cutoffs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha/beta
         ],
         out_specs=[
             pl.BlockSpec(
-                (8, mc8), lambda i, idx, off: (0, i), memory_space=pltpu.VMEM
+                (1, 8, mc8), lambda ci, qb, idx, off: (qb, 0, ci),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # grid-resident accumulator: every step revisits the same block
+            pl.BlockSpec(
+                (b_total, 128), lambda ci, qb, idx, off: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, p, 8, mc8), jnp.uint32),
@@ -185,15 +220,15 @@ def pallas_bitplane_phase1(
         ],
     )
     kernel = functools.partial(
-        _kernel, n_valid=n_valid, p=p, m8s=m8s, n_chunks=n_chunks,
-        similarity=similarity,
+        _batched_kernel, n_valid=n_valid, p=p, b_total=b_total, m8s=m8s,
+        n_chunks=n_chunks, similarity=similarity,
     )
     colmax, cnts = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, m8s), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b_total, 8, m8s), jnp.float32),
+            jax.ShapeDtypeStruct((b_total, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -201,12 +236,38 @@ def pallas_bitplane_phase1(
         jnp.reshape(shard_offset.astype(jnp.int32), (1,)),
         planes,
         pops3,
-        jnp.reshape(query_pop, (1,)).astype(jnp.int32),
-        jnp.reshape(cutoff, (1,)).astype(jnp.float32),
+        jnp.reshape(query_pops, (b_total,)).astype(jnp.int32),
+        jnp.reshape(cutoffs, (b_total,)).astype(jnp.float32),
         alpha_beta.astype(jnp.float32),
     )
-    block_max = colmax.reshape(8, n_blocks, bw8).max(axis=(0, 2))
-    return block_max, cnts.sum()
+    block_max = colmax.reshape(b_total, 8, n_blocks, bw8).max(axis=(1, 3))
+    return block_max, cnts.sum(axis=-1), colmax
+
+
+def pallas_bitplane_phase1(
+    planes,
+    pops3,
+    plane_idx,  # int32 (P,)
+    query_pop,  # int32 scalar array
+    cutoff,  # f32 scalar array
+    alpha_beta,
+    shard_offset,
+    *,
+    mc8: int,
+    bw8: int,
+    n_valid: int,
+    similarity: str = TANIMOTO,
+    interpret: bool = False,
+):
+    """Single-query wrapper: returns (block_max f32[n_blocks], count i32[])."""
+    block_max, cnts, _ = pallas_bitplane_phase1_batched(
+        planes, pops3, plane_idx[None, :],
+        jnp.reshape(query_pop, (1,)), jnp.reshape(cutoff, (1,)),
+        alpha_beta, shard_offset,
+        mc8=mc8, bw8=bw8, n_valid=n_valid, similarity=similarity,
+        interpret=interpret,
+    )
+    return block_max[0], cnts[0]
 
 
 def build_pops3(pops_flat, n_shards: int):

@@ -611,6 +611,82 @@ def _bitplane_local_topk(
     take = min(k, n_shard_cols) if small else min(k, k_blocks * block_cols)
     shifts = jnp.arange(32, dtype=jnp.uint32)
 
+    # phase 1 implementation choice (all inputs static).
+    # VMEM bound: the kernel's double-buffered plane scratch is
+    # 2 * P * 8 * kernel_mc8 * 4 bytes; _bitplane_kernel_mc8 scales the chunk
+    # width down with the query plane bucket (P > 1024 falls back to XLA).
+    kernel_mc8 = _bitplane_kernel_mc8(p)
+    pallas_ok = (
+        use_pallas
+        and pops3 is not None
+        and not small
+        and bw8 == 8
+        and kernel_mc8 >= 128
+        and m8s % 1024 == 0
+        and m8s % kernel_mc8 == 0
+    )
+    _record_phase1_impl(
+        "bitplane", "small" if small else ("pallas" if pallas_ok else "xla")
+    )
+
+    bmax_all = cnt_all = colmax_all = None
+    if pallas_ok:
+        # ONE kernel launch for the whole batch: queries iterate on the
+        # inner grid axis, so the next query's stripe DMAs prefetch behind
+        # the current query's CSA+score loop and the pops3 window is reused
+        # across the batch (round 1 lax.map'ed whole-kernel launches).
+        from ..ops.pallas_bitplane import pallas_bitplane_phase1_batched
+
+        bmax_all, cnt_all, colmax_all = pallas_bitplane_phase1_batched(
+            planes, pops3, plane_idx, query_pops, cutoff,
+            jnp.stack([alpha, beta]).astype(jnp.float32),
+            shard_offset,
+            mc8=kernel_mc8, bw8=bw8, n_valid=n_valid, similarity=similarity,
+            interpret=(jax.default_backend() == "cpu"),
+        )
+
+    def per_query_wordsel(args):
+        """Pallas-path selection + exact rescore at WORD granularity.
+
+        Phase 1 already produced per-word maxima (colmax); selecting top-k
+        blocks, then top-k words inside them, then exactly re-scoring only
+        those k words' 32 columns replaces the old whole-block stripe
+        rescan + top_k over k_blocks*block_cols scores (measured ~2.8 ms of
+        the 4.1 ms per-query marginal at B=8). Exactness is the two-phase
+        argument applied twice: any word outside the top-k blocks is
+        outranked by >= k block maxima, and any column outside the top-k
+        words by >= k word maxima, so the returned score multiset is exact.
+        """
+        qidx, qpop, qcut, q_bmax, q_cnt, q_colmax = args
+        _, selb = jax.lax.top_k(q_bmax, k_blocks)
+        selb = jnp.sort(selb.astype(jnp.int32))
+        widx = (selb[:, None] * bw8 + jnp.arange(bw8, dtype=jnp.int32))
+        wmax = jnp.take(q_colmax, widx.reshape(-1), axis=1)  # (8, kb*bw8)
+        flat_wmax = wmax.reshape(-1)
+        k_words = min(k, flat_wmax.shape[0])
+        _, wsel = jax.lax.top_k(flat_wmax, k_words)
+        wsel = wsel.astype(jnp.int32)
+        r_sel = wsel // (k_blocks * bw8)
+        slot = wsel % (k_blocks * bw8)
+        w_sel = selb[slot // bw8] * bw8 + slot % bw8  # word index in [0, m8s)
+        # gather the P plane words of each candidate word: (P, k_words)
+        pw = planes[(8 * qidx)[:, None] + r_sel[None, :], w_sel[None, :]]
+        bits = ((pw[:, :, None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+        common = bits.sum(axis=0)  # (k_words, 32)
+        cols = (
+            32 * (r_sel * m8s + w_sel)[:, None]
+            + jnp.arange(32, dtype=jnp.int32)[None, :]
+        )
+        col_pops = jnp.take(pops, cols.reshape(-1)).reshape(common.shape)
+        s = similarity_from_counts(
+            common, col_pops, qpop, similarity, alpha, beta
+        )
+        s = jnp.where(shard_offset + cols < n_valid, s, NEG_INF)
+        kc = min(k, k_words * 32)
+        v, pos = jax.lax.top_k(s.reshape(-1), kc)
+        gi = jnp.take(cols.reshape(-1), pos.astype(jnp.int32))
+        return v, gi, q_cnt
+
     def per_query(args):
         qidx, qpop, qcut = args  # (P,), (), ()
 
@@ -651,44 +727,19 @@ def _bitplane_local_topk(
             return jnp.where(valid, s, NEG_INF)
 
         # phase 1: per-block maxima + cutoff count, streamed
-        kernel_mc8 = _bitplane_kernel_mc8(p)
-        pallas_ok = (
-            use_pallas
-            and pops3 is not None
-            and not small
-            and bw8 == 8
-            and kernel_mc8 >= 128
-            and m8s % 1024 == 0
-            and m8s % kernel_mc8 == 0
-        )
-        _record_phase1_impl(
-            "bitplane", "small" if small else ("pallas" if pallas_ok else "xla")
-        )
-        if pallas_ok:
-            from ..ops.pallas_bitplane import pallas_bitplane_phase1
+        def phase1_fn(ci):
+            s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
+            bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
+            return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
 
-            block_max, cnt_q = pallas_bitplane_phase1(
-                planes, pops3, qidx, qpop, qcut,
-                jnp.stack([alpha, beta]).astype(jnp.float32),
-                shard_offset,
-                mc8=kernel_mc8, bw8=bw8, n_valid=n_valid,
-                similarity=similarity,
-                interpret=(jax.default_backend() == "cpu"),
-            )
+        if n_chunks == 1:
+            block_max, cnt_q = phase1_fn(0)
         else:
-            def phase1_fn(ci):
-                s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
-                bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
-                return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
-
-            if n_chunks == 1:
-                block_max, cnt_q = phase1_fn(0)
-            else:
-                bmaxs, cnts = jax.lax.map(
-                    phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
-                )
-                block_max = bmaxs.reshape(n_blocks)
-                cnt_q = cnts.sum()
+            bmaxs, cnts = jax.lax.map(
+                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            )
+            block_max = bmaxs.reshape(n_blocks)
+            cnt_q = cnts.sum()
 
         def flat_to_local(base8_of_block, flat_pos):
             """Flat (8, width*32) position -> shard-local column index."""
@@ -755,7 +806,15 @@ def _bitplane_local_topk(
         gi = flat_to_local(sel[which] * bw8, within)
         return v, gi, cnt_q
 
-    vals, idx, cnt = jax.lax.map(per_query, (plane_idx, query_pops, cutoff))
+    if pallas_ok:
+        vals, idx, cnt = jax.lax.map(
+            per_query_wordsel,
+            (plane_idx, query_pops, cutoff, bmax_all, cnt_all, colmax_all),
+        )
+    else:
+        vals, idx, cnt = jax.lax.map(
+            per_query, (plane_idx, query_pops, cutoff)
+        )
     vals, idx = _pad_to_k(vals, idx, k, shard_offset)
     return vals, idx, cnt
 

@@ -142,6 +142,62 @@ class TestPallasPhase1:
         np.testing.assert_allclose(np.asarray(block_max), ref_bmax, rtol=1e-6)
         assert int(cnt) == int((s >= 0.05).sum())
 
+    def test_bitplane_batched_matches_single(self, rng):
+        """The (n_chunks, B) batched grid returns per-query results equal to
+        B independent single-query launches — including a zero-padded
+        (empty) query, which must score 0 everywhere without NaNs."""
+        from gpusimilarity_tpu.ops.bitplane import (
+            build_bitplanes_np, query_plane_indices,
+        )
+        from gpusimilarity_tpu.ops.pallas_bitplane import (
+            build_pops3, pallas_bitplane_phase1, pallas_bitplane_phase1_batched,
+        )
+
+        m8s, n = 256, 65536
+        words = make_db(rng, n)
+        planes = build_bitplanes_np(
+            np.ascontiguousarray(words).view(np.uint8), n
+        )
+        planes = np.concatenate(
+            [planes, np.zeros((1, planes.shape[1]), np.uint32)]
+        )
+        arranged = planes.reshape(1025, 8, m8s).reshape(1025 * 8, m8s)
+        pops = popcount_rows_np(words).astype(np.int32)
+        pops3 = np.asarray(build_pops3(pops, 1))
+
+        queries = np.concatenate(
+            [words[[7, 999]], np.zeros((1, 32), np.uint32)]
+        )
+        plane_idx, bucket = query_plane_indices(queries, 1024)
+        qpops = popcount_rows_np(queries).astype(np.int32)
+        cutoffs = np.array([0.0, 0.2, 0.5], np.float32)
+        ab = jnp.asarray(np.ones(2, np.float32))
+
+        bmax, cnt, colmax = pallas_bitplane_phase1_batched(
+            jnp.asarray(arranged), jnp.asarray(pops3),
+            jnp.asarray(plane_idx), jnp.asarray(qpops),
+            jnp.asarray(cutoffs), ab, jnp.int32(0),
+            mc8=128, bw8=8, n_valid=n, interpret=True,
+        )
+        assert colmax.shape == (3, 8, m8s)
+        assert not np.isnan(np.asarray(bmax)).any()
+        for qi in range(3):
+            b1, c1 = pallas_bitplane_phase1(
+                jnp.asarray(arranged), jnp.asarray(pops3),
+                jnp.asarray(plane_idx[qi]), jnp.int32(int(qpops[qi])),
+                jnp.float32(float(cutoffs[qi])), ab, jnp.int32(0),
+                mc8=128, bw8=8, n_valid=n, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(bmax[qi]), np.asarray(b1))
+            assert int(cnt[qi]) == int(c1)
+        # oracle cross-check for the first query
+        s = scores_np(words, queries[:1])[0]
+        ref = s.reshape(8, m8s // 8, 8, 32).max(axis=(0, 2, 3))
+        np.testing.assert_allclose(np.asarray(bmax[0]), ref, rtol=1e-6)
+        assert int(cnt[0]) == n  # cutoff 0 counts every valid column
+        # empty query: all scores exactly 0
+        assert float(np.asarray(bmax[2]).max()) == 0.0
+
     def test_tversky_mode(self, rng):
         n = 1024
         words = make_db(rng, n)
