@@ -16,8 +16,15 @@ Differences from the reference, by design:
 * Per-row popcounts are precomputed at load.
 * Folded-scan candidates are re-scored exactly on the host from the
   full-width matrix (the reference does the same on CPU,
-  ``fingerprintdb_cuda.cu:307-331``); at 1 B rows the full matrix lives in
-  host RAM either way.
+  ``fingerprintdb_cuda.cu:307-331``, but requires the whole matrix in
+  RAM — its benchmark boxes carry 256 GB). Here the rescore source can be
+  a ``.tfsim`` memory map: ``packed_words()`` is a zero-copy view of the
+  mapped file, the word-level fold streams it once, and the per-candidate
+  rescore touches only the selected rows' pages — so fold-N search works
+  over libraries larger than host RAM. (An on-device gather rescore would
+  only help when the *unfolded* matrix is device-resident, which
+  contradicts folding's purpose of fitting in HBM; deliberately not
+  built.)
 """
 
 from __future__ import annotations
@@ -92,7 +99,11 @@ class FingerprintDB:
         fold_factor = fold_ops.round_fold_factor(self.word_count, int(fold_factor))
         self.fold_factor = fold_factor
         if fold_factor > 1 and self._full_words is None:
-            raise ValueError("folded search requires the full-width host copy")
+            raise ValueError(
+                "folded search needs a full-width rescore source; keep "
+                "keep_full_on_host=True (free for .tfsim-mapped data: the "
+                "'host copy' is a zero-copy view of the memory-mapped file)"
+            )
 
         device_rows = fold_ops.fold_words(full, fold_factor)
         self._mesh = mesh if mesh is not None else make_mesh()

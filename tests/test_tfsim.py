@@ -81,3 +81,37 @@ class TestNativeFormat:
         write_fsim(tmp_path / "c.fsim", data)
         convertdb.main([str(tmp_path / "c.fsim"), str(tmp_path / "c.tfsim")])
         assert load_native(tmp_path / "c.tfsim").dbkey == "cli"
+
+
+class TestMmapFoldedRescore:
+    """Fold-N search over a memory-mapped .tfsim must not materialize the
+    full-width matrix in RAM: the engine's rescore source stays a view of
+    the mapped file and only candidate rows' pages are touched — this is
+    what makes folding work for libraries larger than host memory
+    (round-1 review: fold search previously implied a full host copy)."""
+
+    def test_folded_search_from_mmap_is_zero_copy_and_exact(self, tmp_path, rng):
+        import numpy as np
+
+        from conftest import random_fingerprint_data
+        from gpusimilarity_tpu.models import FingerprintDB
+        from gpusimilarity_tpu.ops.scan import scores_np
+        from gpusimilarity_tpu.utils.tfsim import load_native, save_native
+
+        data = random_fingerprint_data(rng, count=3000, dbkey="mm")
+        save_native(tmp_path / "mm.tfsim", data)
+        mapped = load_native(tmp_path / "mm.tfsim", mmap=True)
+        assert isinstance(mapped.fingerprints, np.memmap)
+
+        db = FingerprintDB(mapped, fold_factor=4)
+        # the rescore source is a view of the mapped file, not a RAM copy
+        assert np.shares_memory(db._full_words, mapped.fingerprints)
+
+        words = mapped.packed_words()
+        assert np.shares_memory(words, mapped.fingerprints)
+        r = db.search(np.array(words[123]), k=10, dbkey="mm")
+        assert r.scores[0] == 1.0 and r.ids[0] == db.get_id(123)
+        # every returned score is an exact full-width score
+        oracle = scores_np(np.array(words), np.array(words[123])[None, :])[0]
+        for rid, rs in zip(r.ids, r.scores):
+            assert float(oracle[int(rid[4:])]) == rs
