@@ -53,6 +53,16 @@ def parse_args(argv=None):
         help="use the hand-written Pallas TPU kernels",
     )
     parser.add_argument(
+        "--coordinator", default="",
+        help="multi-host mode: coordination service address host:port "
+        "(run one server process per host with --num_processes/--process_id; "
+        "the library shards over the global mesh)",
+    )
+    parser.add_argument("--num_processes", default=1, type=int,
+                        help="total processes in the multi-host job")
+    parser.add_argument("--process_id", default=0, type=int,
+                        help="this process's rank in the multi-host job")
+    parser.add_argument(
         "--no_warmup", action="store_true",
         help="skip precompiling the common search shapes at startup (the "
         "first live query then pays the XLA compile)",
@@ -87,6 +97,12 @@ def main(argv=None):
 
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        from ..parallel import multihost
+
+        multihost.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
     if args.jax_cache_dir:
         jax.config.update("jax_compilation_cache_dir", args.jax_cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

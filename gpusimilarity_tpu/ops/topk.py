@@ -21,7 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float: a jnp scalar at import time would initialize the XLA
+# backend before jax.distributed.initialize() can run (multi-host)
+NEG_INF = float("-inf")
 
 
 def _pad_to_multiple(x: jax.Array, multiple: int, value) -> jax.Array:

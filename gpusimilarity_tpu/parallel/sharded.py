@@ -62,7 +62,11 @@ def _record_phase1_impl(mode: str, impl: str) -> None:
 # Two-phase top-k granularity: candidate chunks are re-scored in blocks of
 # this many columns (256 KiB of packed data each).
 SELECT_BLOCK_COLS = 2048
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float, not a jnp scalar: creating a device value at import time
+# would initialize the XLA backend, which breaks multi-host setups that
+# must call jax.distributed.initialize() first (weak-typed float folds
+# into f32 everywhere it is used)
+NEG_INF = float("-inf")
 
 
 @dataclass(frozen=True)
