@@ -202,15 +202,18 @@ def _run(n_rows):
             jnp.float32(1.0),
             jnp.float32(1.0),
         )
+        # sync by FETCHING the result values: block_until_ready can return
+        # at enqueue time under the axon relay (observed: a 5 GB-read kernel
+        # "completing" in 0.4 ms), and serving fetches the top-k anyway
         t0 = time.monotonic()
         vals, _, _ = search(*args)
-        vals.block_until_ready()
+        jax.device_get(vals)
         compile_s = time.monotonic() - t0
         ts = []
         for _ in range(reps):
             t0 = time.monotonic()
             vals, _, _ = search(*args)
-            vals.block_until_ready()
+            jax.device_get(vals)
             ts.append(time.monotonic() - t0)
         return statistics.median(ts), min(ts), compile_s
 

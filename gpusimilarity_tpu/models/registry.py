@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 from typing import Optional, Sequence
 
@@ -37,6 +38,8 @@ class DatabaseRegistry:
         self._dbs: dict[str, FingerprintDB] = {}
         self.search_count = 0
         self.total_search_seconds = 0.0
+        # searches run concurrently from the batcher's group pool
+        self._stats_lock = threading.Lock()
 
     # ---------------------------------------------------------------- loading
 
@@ -189,9 +192,10 @@ class DatabaseRegistry:
                 )
             )
         merged = merge_results(per_db, k)
-        self.search_count += 1
         elapsed = time.monotonic() - t0
-        self.total_search_seconds += elapsed
+        with self._stats_lock:
+            self.search_count += 1
+            self.total_search_seconds += elapsed
         log.info(
             "search over %s: %d results, approx %d, %.1f ms",
             list(dbnames), len(merged), merged.approximate_count, elapsed * 1e3,
@@ -233,9 +237,10 @@ class DatabaseRegistry:
             merge_results([db_results[qi] for db_results in per_db], int(ks[qi]))
             for qi in range(b)
         ]
-        self.search_count += b
         elapsed = time.monotonic() - t0
-        self.total_search_seconds += elapsed
+        with self._stats_lock:
+            self.search_count += b
+            self.total_search_seconds += elapsed
         log.info(
             "batched search over %s: %d queries, %.1f ms",
             list(dbnames), b, elapsed * 1e3,

@@ -811,9 +811,11 @@ def _bitplane_local_topk(
         return v, gi, cnt_q
 
     if pallas_ok:
-        vals, idx, cnt = jax.lax.map(
-            per_query_wordsel,
-            (plane_idx, query_pops, cutoff, bmax_all, cnt_all, colmax_all),
+        # vmap, not lax.map: the word-selection stage is light (top_k over
+        # block maxima + small gathers), and batching it turns B sequential
+        # top_k/gather dispatches into single batched ops
+        vals, idx, cnt = jax.vmap(per_query_wordsel)(
+            (plane_idx, query_pops, cutoff, bmax_all, cnt_all, colmax_all)
         )
     else:
         vals, idx, cnt = jax.lax.map(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -52,6 +52,13 @@ class BatchingSearcher:
         self._window_s = window_ms / 1e3
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # groups run on a small pool, not inline in the drain loop: a group
+        # stuck in a multi-minute XLA compile must not stall every other
+        # group and all new arrivals for its duration (jit dispatch is
+        # thread-safe; the device serializes actual execution)
+        self._pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="tpusim-scan"
+        )
         self._worker = threading.Thread(
             target=self._run, name="tpusim-batcher", daemon=True
         )
@@ -91,6 +98,7 @@ class BatchingSearcher:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        self._pool.shutdown(wait=False)
 
     # ------------------------------------------------------------- internals
 
@@ -123,22 +131,26 @@ class BatchingSearcher:
             groups: dict[tuple, list[_Pending]] = {}
             for item in batch:
                 groups.setdefault(item.group_key(), []).append(item)
-            for (dbnames, dbkeys, similarity, alpha, beta), items in groups.items():
-                try:
-                    queries = np.stack([it.query for it in items])
-                    results = self._registry.search_databases_batch(
-                        dbnames,
-                        dbkeys,
-                        queries,
-                        ks=[it.k for it in items],
-                        cutoffs=[it.cutoff for it in items],
-                        similarity=similarity,
-                        alpha=alpha,
-                        beta=beta,
-                    )
-                    for it, r in zip(items, results):
-                        it.future.set_result(r)
-                except Exception as e:  # deliver the failure to every caller
-                    for it in items:
-                        if not it.future.done():
-                            it.future.set_exception(e)
+            for key, items in groups.items():
+                self._pool.submit(self._run_group, key, items)
+
+    def _run_group(self, key, items):
+        dbnames, dbkeys, similarity, alpha, beta = key
+        try:
+            queries = np.stack([it.query for it in items])
+            results = self._registry.search_databases_batch(
+                dbnames,
+                dbkeys,
+                queries,
+                ks=[it.k for it in items],
+                cutoffs=[it.cutoff for it in items],
+                similarity=similarity,
+                alpha=alpha,
+                beta=beta,
+            )
+            for it, r in zip(items, results):
+                it.future.set_result(r)
+        except Exception as e:  # deliver the failure to every caller
+            for it in items:
+                if not it.future.done():
+                    it.future.set_exception(e)

@@ -298,6 +298,43 @@ class TestBatching:
         finally:
             searcher.close()
 
+    def test_slow_group_does_not_stall_others(self):
+        """One group stuck in a long compile (simulated by a sleeping
+        registry call) must not block other groups in the same or later
+        drain cycles (round-1 review: the worker ran groups serially)."""
+        import threading
+        import time as _time
+
+        class FakeRegistry:
+            def search_databases_batch(self, dbnames, dbkeys, queries, ks,
+                                       cutoffs, **kw):
+                if dbnames[0] == "slow":
+                    _time.sleep(3.0)
+                return [SearchResult() for _ in range(len(queries))]
+
+        from gpusimilarity_tpu.models.results import SearchResult
+
+        searcher = BatchingSearcher(FakeRegistry(), window_ms=1.0)
+        try:
+            q = np.zeros(32, np.uint32)
+            slow_done = threading.Event()
+            t = threading.Thread(
+                target=lambda: (searcher.search(["slow"], [""], q),
+                                slow_done.set()),
+                daemon=True,
+            )
+            t.start()
+            _time.sleep(0.1)  # let the slow group start
+            t0 = _time.monotonic()
+            searcher.search(["fast"], [""], q, timeout=10)
+            fast_elapsed = _time.monotonic() - t0
+            assert fast_elapsed < 1.5, fast_elapsed  # not behind the 3s sleep
+            assert not slow_done.is_set()
+            t.join(timeout=10)
+            assert slow_done.is_set()
+        finally:
+            searcher.close()
+
     def test_error_propagates_to_caller(self, rng):
         reg = DatabaseRegistry()
         searcher = BatchingSearcher(reg, window_ms=1.0)
