@@ -42,6 +42,7 @@ from ..utils.fingerprints import (
     BITCOUNT,
     FingerprintError,
     fingerprint_bin_to_words,
+    compatible_generators,
     generator_tag,
     smiles_to_query_words,
 )
@@ -129,17 +130,19 @@ class SearchService:
         fp_hex = form.get("fp_hex", "").strip()
         if src_smiles and not fp_hex:
             # provenance guard: a SMILES query is fingerprinted by THIS
-            # process's generator; a database tagged with a different
-            # generator would return quietly wrong neighbors (RDKit and the
-            # built-in Morgan set different bits by design). Untagged DBs
-            # (e.g. reference-built .fsim files) are not checked. Raw
+            # process's generator; a database tagged with an incompatible
+            # generator would return quietly wrong neighbors. "rdkit" and
+            # "rdkit-compat" (the built-in bit-exact reimplementation) are
+            # interchangeable; the round-1 "builtin" hash is not. Untagged
+            # DBs (e.g. reference-built .fsim files) are not checked. Raw
             # fp_hex queries bypass the check — the caller owns the bits.
             mine = generator_tag()
+            ok_tags = compatible_generators(mine)
             for name in dbnames:
                 if name not in self.registry:
                     continue
                 theirs = self.registry.get(name).generator
-                if theirs and theirs != mine:
+                if theirs and theirs not in ok_tags:
                     raise RequestError(
                         f"database {name!r} was built with fingerprint "
                         f"generator {theirs!r} but this server generates "

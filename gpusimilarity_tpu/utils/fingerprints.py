@@ -2,8 +2,9 @@
 
 Drop-in equivalent of the reference's ``gpusim_utils.smiles_to_fingerprint_bin``
 (``python/gpusim_utils.py:55-66``): RDKit Morgan radius-2 / ``BITCOUNT``-bit
-when RDKit is importable (bit-exact reference parity), otherwise the built-in
-SMILES parser + Morgan implementation (``smiles.py`` / ``morgan.py``).
+when RDKit is importable, otherwise the built-in SMILES parser + RDKit-
+bit-exact Morgan implementation (``smiles.py`` / ``rdmorgan.py``, verified
+bit-for-bit against the reference fixture's RDKit-generated fingerprints).
 The engine is fingerprint-agnostic either way.
 """
 
@@ -31,14 +32,24 @@ class FingerprintError(RuntimeError):
 def generator_tag(bitcount: int = BITCOUNT, radius: int = RADIUS) -> str:
     """Provenance tag of the fingerprint generator active in this process.
 
-    The RDKit Morgan bits and the built-in fallback's bits are NOT
-    compatible (``morgan.py`` hashes differently by design): a query
-    fingerprinted by one against a library built by the other returns
-    quietly wrong neighbors. Databases record this tag at build time and
-    the server refuses mismatched searches (round-1 review: nothing
-    recorded which generator built a DB).
+    Databases record this tag at build time and the server checks it at
+    search time (round-1 review: nothing recorded which generator built a
+    DB). The built-in generator (``rdmorgan.py``) reproduces RDKit's Morgan
+    bits exactly — verified on the reference fixture — so ``rdkit-*`` and
+    ``rdkit-compat-*`` tags are mutually compatible (see
+    ``compatible_generators``). The round-1 ``builtin-*`` tag named a
+    hash-incompatible generator and stays incompatible with both.
     """
-    return f"{'rdkit' if HAVE_RDKIT else 'builtin'}-morgan-r{radius}-{bitcount}"
+    kind = "rdkit" if HAVE_RDKIT else "rdkit-compat"
+    return f"{kind}-morgan-r{radius}-{bitcount}"
+
+
+def compatible_generators(tag: str) -> frozenset[str]:
+    """All generator tags whose bits are interchangeable with ``tag``'s."""
+    for a, b in (("rdkit-compat-", "rdkit-"), ("rdkit-", "rdkit-compat-")):
+        if tag.startswith(a):
+            return frozenset({tag, b + tag[len(a):]})
+    return frozenset({tag})
 
 
 def smiles_to_fingerprint_bin(
@@ -65,7 +76,7 @@ def smiles_to_fingerprint_bin(
             Chem.MolToSmiles(mol).encode("utf-8"),
         )
 
-    from .morgan import morgan_bits, pack_bits
+    from .rdmorgan import morgan_bits, pack_bits
     from .smiles import SmilesError, parse_smiles, write_smiles
 
     try:

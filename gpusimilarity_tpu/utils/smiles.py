@@ -63,6 +63,7 @@ class Atom:
     index: int = 0
     implicit_hs: int = 0
     in_ring: bool = False
+    merged_hs: int = 0  # explicit [H] neighbor atoms folded into this atom
 
     @property
     def atomic_number(self) -> int:
@@ -70,7 +71,8 @@ class Atom:
 
     @property
     def total_hs(self) -> int:
-        return self.explicit_hs if self.explicit_hs is not None else self.implicit_hs
+        base = self.explicit_hs if self.explicit_hs is not None else self.implicit_hs
+        return base + self.merged_hs
 
 
 @dataclass
@@ -79,6 +81,8 @@ class Bond:
     a2: int
     order: int = 1  # 1/2/3; aromatic bonds carry order 1 + aromatic flag
     aromatic: bool = False
+    direction: str = ""  # "/" or "\\" stereo marker as written
+    in_ring: bool = False
 
     def other(self, idx: int) -> int:
         return self.a2 if idx == self.a1 else self.a1
@@ -192,31 +196,34 @@ def parse_smiles(smiles: str) -> Molecule:
     stack: list[int] = []
     prev: int | None = None
     pending_order: int | None = None  # explicit bond symbol before next atom
-    ring_openings: dict[int, tuple[int, int | None]] = {}
+    pending_dir: str = ""  # "/" or "\\" when the bond symbol was directional
+    ring_openings: dict[int, tuple[int, int | None, str]] = {}
     i, n = 0, len(s)
 
     def add_atom(atom: Atom):
-        nonlocal prev, pending_order
+        nonlocal prev, pending_order, pending_dir
         atom.index = len(mol.atoms)
         mol.atoms.append(atom)
         if prev is not None:
-            _add_bond(mol, prev, atom.index, pending_order)
+            _add_bond(mol, prev, atom.index, pending_order, pending_dir)
         prev = atom.index
         pending_order = None
+        pending_dir = ""
 
     def ring_closure(num: int):
-        nonlocal pending_order
+        nonlocal pending_order, pending_dir
         if prev is None:
             raise SmilesError("ring closure before any atom")
         if num in ring_openings:
-            start, open_order = ring_openings.pop(num)
+            start, open_order, open_dir = ring_openings.pop(num)
             order = pending_order if pending_order is not None else open_order
             if start == prev:
                 raise SmilesError("ring bond to self")
-            _add_bond(mol, start, prev, order)
+            _add_bond(mol, start, prev, order, pending_dir or open_dir)
         else:
-            ring_openings[num] = (prev, pending_order)
+            ring_openings[num] = (prev, pending_order, pending_dir)
         pending_order = None
+        pending_dir = ""
 
     while i < n:
         c = s[i]
@@ -238,6 +245,8 @@ def parse_smiles(smiles: str) -> Molecule:
         elif c in "-=#$:/\\":
             pending_order = {"-": 1, "=": 2, "#": 3, "$": 4, ":": -1,
                              "/": 1, "\\": 1}[c]
+            if c in "/\\":
+                pending_dir = c
             i += 1
         elif c.isdigit():
             ring_closure(int(c))
@@ -273,11 +282,12 @@ def parse_smiles(smiles: str) -> Molecule:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_openings)}")
     if stack:
         raise SmilesError("unclosed branch")
+    _merge_explicit_hydrogens(mol)
     _perceive(mol)
     return mol
 
 
-def _add_bond(mol: Molecule, a1: int, a2: int, order: int | None):
+def _add_bond(mol: Molecule, a1: int, a2: int, order: int | None, dir: str = ""):
     aromatic = False
     if order == -1:  # explicit ':' aromatic bond
         aromatic, order = True, 1
@@ -286,28 +296,117 @@ def _add_bond(mol: Molecule, a1: int, a2: int, order: int | None):
             aromatic, order = True, 1
         else:
             order = 1
-    mol.bonds.append(Bond(a1=a1, a2=a2, order=order, aromatic=aromatic))
+    mol.bonds.append(
+        Bond(a1=a1, a2=a2, order=order, aromatic=aromatic, direction=dir)
+    )
+
+
+def _merge_explicit_hydrogens(mol: Molecule) -> None:
+    """Fold plain ``[H]`` graph atoms into their heavy neighbor's H count
+    (RDKit's ``MolFromSmiles`` removes explicit hydrogens the same way;
+    isotopic/charged/multivalent hydrogens stay as graph atoms)."""
+    drop: set[int] = set()
+    for i, a in enumerate(mol.atoms):
+        if (
+            a.symbol != "H"
+            or a.isotope
+            or a.charge
+            or a.chirality
+            or (a.explicit_hs or 0) != 0
+            or len(mol.neighbors(i)) != 1
+        ):
+            continue
+        b = mol.bonds[mol.neighbors(i)[0]]
+        if b.order != 1 or b.aromatic:
+            continue
+        o = b.other(i)
+        if mol.atoms[o].symbol == "H":
+            continue
+        drop.add(i)
+        mol.atoms[o].merged_hs += 1
+    if not drop:
+        return
+    remap = {}
+    atoms = []
+    for i, a in enumerate(mol.atoms):
+        if i not in drop:
+            remap[i] = len(atoms)
+            a.index = len(atoms)
+            atoms.append(a)
+    bonds = []
+    for b in mol.bonds:
+        if b.a1 in drop or b.a2 in drop:
+            continue
+        b.a1, b.a2 = remap[b.a1], remap[b.a2]
+        bonds.append(b)
+    mol.atoms, mol.bonds, mol._neighbors = atoms, bonds, None
 
 
 def _perceive(mol: Molecule) -> None:
-    """Ring membership (via bond-is-in-cycle) and implicit hydrogens."""
+    """Ring membership, directional-ring-bond aromaticity, implicit Hs."""
     _mark_rings(mol)
+    _upgrade_directional_ring_bonds(mol)
     for atom in mol.atoms:
         if atom.explicit_hs is not None:
             continue  # bracket atoms: explicit H count is authoritative
-        sigma = sum(mol.bonds[bi].order_value for bi in mol.neighbors(atom.index))
-        if atom.aromatic:
-            sigma = -(-int(sigma * 2) // 2)  # ceil of half-integer aromatic sum
+        sigma = (
+            sum(mol.bonds[bi].order_value for bi in mol.neighbors(atom.index))
+            + atom.merged_hs
+        )
         valences = _DEFAULT_VALENCES.get(atom.symbol)
         if valences is None:  # '*' or unbracketed unknown: no implicit H
             atom.implicit_hs = 0
             continue
+        ev = int(sigma + 0.5)  # aromatic half-integers round up, like RDKit
+        if atom.aromatic:
+            # RDKit rule: aromatic atoms take implicit Hs only up to the
+            # DEFAULT (lowest) valence — thiophene 's' gets 0 Hs, not
+            # valence-4's 1; benzene 'c' still gets 1
+            atom.implicit_hs = max(0, valences[0] - ev)
+            continue
         for v in valences:
-            if sigma <= v:
-                atom.implicit_hs = int(v - sigma)
+            if ev <= v:
+                atom.implicit_hs = v - ev
                 break
         else:
             atom.implicit_hs = 0  # hypervalent as written: no implicit H
+
+
+def _upgrade_directional_ring_bonds(mol: Molecule) -> None:
+    """Re-aromatize ring bonds written with stereo slashes.
+
+    RDKit canonical SMILES can place an E/Z marker on a RING bond adjacent
+    to an exocyclic double bond (e.g. ``[nH]/c(=N\\C(=O)OC)[nH]`` in the
+    reference fixture). The marker forces the bond to parse as single, but
+    RDKit's aromaticity re-perception makes it aromatic again. Mirror that:
+    a direction-marked single bond between two aromatic atoms that lies on
+    a cycle of all-aromatic atoms is aromatic."""
+    for bi, b in enumerate(mol.bonds):
+        if b.aromatic or b.order != 1 or not b.direction or not b.in_ring:
+            continue
+        a1, a2 = mol.atoms[b.a1], mol.atoms[b.a2]
+        if a1.aromatic and a2.aromatic and _aromatic_path_exists(mol, bi):
+            b.aromatic = True
+
+
+def _aromatic_path_exists(mol: Molecule, bond_idx: int) -> bool:
+    """True if the bond's endpoints connect through aromatic atoms only,
+    avoiding the bond itself (i.e. the bond closes an all-aromatic cycle)."""
+    b = mol.bonds[bond_idx]
+    seen = {b.a1}
+    queue = deque([b.a1])
+    while queue:
+        v = queue.popleft()
+        for nbi in mol.neighbors(v):
+            if nbi == bond_idx:
+                continue
+            u = mol.bonds[nbi].other(v)
+            if u == b.a2:
+                return True
+            if u not in seen and mol.atoms[u].aromatic:
+                seen.add(u)
+                queue.append(u)
+    return False
 
 
 def _mark_rings(mol: Molecule) -> None:
@@ -353,7 +452,7 @@ def _mark_rings(mol: Molecule) -> None:
             # bond in a cycle (or self-loop, which we disallow)
             mol.atoms[b.a1].in_ring = True
             mol.atoms[b.a2].in_ring = True
-            b.in_ring = True  # type: ignore[attr-defined]
+            b.in_ring = True
 
 
 # ----------------------------------------------------------------- canonical

@@ -12,7 +12,7 @@ from gpusimilarity_tpu.utils.fingerprints import (
     smiles_to_fingerprint_bin,
     smiles_to_query_words,
 )
-from gpusimilarity_tpu.utils.morgan import morgan_bits, smiles_to_morgan_packed
+from gpusimilarity_tpu.utils.rdmorgan import morgan_bits, smiles_to_morgan_packed
 from gpusimilarity_tpu.utils.smiles import (
     SmilesError,
     canonical_smiles,
