@@ -343,7 +343,8 @@ def _merge_explicit_hydrogens(mol: Molecule) -> None:
 
 
 def _perceive(mol: Molecule) -> None:
-    """Ring membership, directional-ring-bond aromaticity, implicit Hs."""
+    """Ring membership, directional-ring-bond aromaticity, implicit Hs,
+    then Hückel aromaticity perception over Kekulé-written rings."""
     _mark_rings(mol)
     _upgrade_directional_ring_bonds(mol)
     for atom in mol.atoms:
@@ -370,6 +371,276 @@ def _perceive(mol: Molecule) -> None:
                 break
         else:
             atom.implicit_hs = 0  # hypervalent as written: no implicit H
+    _aromatize(mol)
+
+
+# -------------------------------------------------------- aromaticity model
+
+
+_EARLY_ELEMENTS = {"B", "Al"}  # charge flips sign in valence adjustment
+_PI_ELEMENTS = {"C", "N", "O", "S", "P", "Se", "Te", "As"}
+
+_DISQUALIFIED = -1  # atom can never sit in an aromatic ring
+_INCOMPLETE = -2  # pi partner outside the evaluated ring but in a ring
+
+
+def _electron_contribution(mol: Molecule, idx: int) -> tuple[int, int | None]:
+    """(pi-electron count, pi-partner atom or None) for Hückel counting.
+
+    Mirrors RDKit's default aromaticity model: an atom in a double bond
+    donates 1 electron paired with its partner; lone-pair heteroatoms
+    donate 2; carbocations donate 0; exocyclic double bonds to non-ring
+    atoms donate 0; sp3/sp atoms and exotic elements disqualify the ring
+    (``_DISQUALIFIED``)."""
+    a = mol.atoms[idx]
+    if a.symbol not in _PI_ELEMENTS:
+        return _DISQUALIFIED, None
+    multiple = [
+        bi
+        for bi in mol.neighbors(idx)
+        if not mol.bonds[bi].aromatic and mol.bonds[bi].order >= 2
+    ]
+    if len(multiple) >= 2 or any(mol.bonds[bi].order >= 3 for bi in multiple):
+        return _DISQUALIFIED, None  # cumulated/sp center or triple bond
+    if len(multiple) == 1:
+        return 1, mol.bonds[multiple[0]].other(idx)
+    # no multiple bonds: lone pair or vacancy
+    sigma = mol.degree(idx) + a.total_hs
+    if a.symbol == "C":
+        if a.charge == -1 and sigma <= 3:
+            return 2, None
+        if a.charge == 1 and sigma <= 3:
+            return 0, None
+        return _DISQUALIFIED, None  # neutral saturated carbon is sp3
+    if a.symbol in ("N", "P", "As"):
+        if a.charge == 0 and sigma <= 3:
+            return 2, None
+        if a.charge == -1 and sigma <= 2:
+            return 2, None
+        if a.charge == 1 and sigma <= 3:
+            return 0, None  # e.g. N-oxide written [n+][O-] pre-kekulized
+        return _DISQUALIFIED, None
+    if a.symbol in ("O", "S", "Se", "Te"):
+        if a.charge == 0 and sigma <= 2:
+            return 2, None
+        if a.charge == 1 and sigma <= 2:
+            return 1, None  # pyrylium-style cation
+        return _DISQUALIFIED, None
+    return _DISQUALIFIED, None
+
+
+def _smallest_rings(mol: Molecule) -> list[tuple[frozenset, frozenset]]:
+    """One smallest cycle through each ring bond (SSSR-like candidate set):
+    (atom-index set, bond-index set) pairs, deduplicated."""
+    rings: dict[frozenset, frozenset] = {}
+    for bi, b in enumerate(mol.bonds):
+        if not b.in_ring:
+            continue
+        prev: dict[int, tuple[int | None, int | None]] = {b.a1: (None, None)}
+        queue = deque([b.a1])
+        reached = False
+        while queue and not reached:
+            v = queue.popleft()
+            for nbi in mol.neighbors(v):
+                if nbi == bi or not mol.bonds[nbi].in_ring:
+                    continue
+                u = mol.bonds[nbi].other(v)
+                if u in prev:
+                    continue
+                prev[u] = (v, nbi)
+                if u == b.a2:
+                    reached = True
+                    break
+                queue.append(u)
+        if not reached:
+            continue
+        atoms, bonds = set(), {bi}
+        v: int | None = b.a2
+        while v is not None:
+            atoms.add(v)
+            v, nbi = prev[v]
+            if nbi is not None:
+                bonds.add(nbi)
+        key = frozenset(bonds)
+        rings.setdefault(key, frozenset(atoms))
+    return [(a, b) for b, a in rings.items()]
+
+
+def _aromatize(mol: Molecule) -> None:
+    """Perceive aromaticity of Kekulé-written rings (RDKit default model).
+
+    Input written in aromatic form (lowercase) is trusted as-is; this pass
+    only promotes rings whose bonds are all written with concrete orders.
+    A ring (or a fused union of rings, for cases like naphthalene Kekulé
+    forms whose double bonds cross rings, azulene, and biphenylene) becomes
+    aromatic when every atom contributes and the pi-electron count is
+    4n+2. Kekulé bond orders are preserved alongside the aromatic flags.
+    Runs after implicit-H perception — hydrogen counts come from the
+    written (Kekulé) valences, exactly as RDKit computes them before its
+    own aromatization."""
+    candidates = []
+    contrib: dict[int, tuple[int, int | None]] = {}
+    for atoms, bonds in _smallest_rings(mol):
+        if len(atoms) > 24:
+            continue
+        if any(mol.bonds[bi].aromatic for bi in bonds):
+            continue  # written-aromatic (or already upgraded): trusted
+        for i in atoms:
+            if i not in contrib:
+                contrib[i] = _electron_contribution(mol, i)
+        if any(contrib[i][0] == _DISQUALIFIED for i in atoms):
+            continue  # an sp3/sp/exotic member sinks every union too
+        candidates.append((atoms, bonds))
+    if not candidates:
+        return
+
+    def evaluate(atom_set: frozenset) -> int:
+        """Electron count, or _INCOMPLETE if a pi partner lies outside the
+        set but inside some ring (a larger fused union may resolve it)."""
+        total = 0
+        for i in atom_set:
+            electrons, partner = contrib[i]
+            if electrons == 1 and partner is not None:
+                if partner in atom_set:
+                    total += 1
+                elif mol.atoms[partner].in_ring:
+                    return _INCOMPLETE
+                # exocyclic double bond (e.g. 2-pyridone's C=O): 0 electrons
+            else:
+                total += electrons
+        return total
+
+    def mark(ring_ids: tuple[int, ...]) -> None:
+        for ri in ring_ids:
+            atoms, bonds = candidates[ri]
+            for i in atoms:
+                mol.atoms[i].aromatic = True
+            for bi in bonds:
+                mol.bonds[bi].aromatic = True
+
+    # single rings first, then connected fused unions of increasing size
+    aromatic_rings: set[int] = set()
+    for ri, (atoms, _) in enumerate(candidates):
+        n = evaluate(atoms)
+        if n >= 0 and n % 4 == 2:
+            mark((ri,))
+            aromatic_rings.add(ri)
+
+    # ring adjacency: fused = sharing at least one bond
+    n_rings = len(candidates)
+    adj: list[set[int]] = [set() for _ in range(n_rings)]
+    for i in range(n_rings):
+        for j in range(i + 1, n_rings):
+            if candidates[i][1] & candidates[j][1]:
+                adj[i].add(j)
+                adj[j].add(i)
+
+    max_union = 6 if n_rings <= 20 else 2
+    frontier = {frozenset({ri}) for ri in range(n_rings)}
+    seen = set(frontier)
+    for _ in range(1, max_union):
+        grown: set[frozenset] = set()
+        for group in frontier:
+            for ri in group:
+                for rj in adj[ri]:
+                    g = group | {rj}
+                    if g not in seen:
+                        seen.add(g)
+                        grown.add(g)
+        for group in grown:
+            if group <= aromatic_rings:
+                continue
+            atom_union = frozenset().union(
+                *(candidates[ri][0] for ri in group)
+            )
+            n = evaluate(atom_union)
+            if n >= 0 and n % 4 == 2:
+                mark(tuple(group))
+                aromatic_rings |= group
+        frontier = grown
+        if not frontier:
+            break
+
+
+# ------------------------------------------------------------- kekulization
+
+
+def kekulize(mol: Molecule) -> None:
+    """Assign concrete orders to aromatic bonds and clear aromatic flags.
+
+    The analog of RDKit's ``Chem.Kekulize(mol, clearAromaticFlags=True)``:
+    every aromatic atom that is short of its valence receives exactly one
+    double bond within the aromatic system (a perfect matching found by
+    backtracking); remaining aromatic bonds become single. Bonds that were
+    aromatized from Kekulé input keep their written orders. Raises
+    ``SmilesError`` when no valid Kekulé structure exists."""
+    arom_bonds = [
+        bi for bi, b in enumerate(mol.bonds) if b.aromatic and b.order == 1
+    ]
+    needs: set[int] = set()
+    for a in mol.atoms:
+        if not a.aromatic:
+            continue
+        valences = _DEFAULT_VALENCES.get(a.symbol)
+        if valences is None:
+            continue
+        dv = valences[0] + (
+            -a.charge if a.symbol in _EARLY_ELEMENTS else a.charge
+        )
+        sigma = (
+            sum(mol.bonds[bi].order for bi in mol.neighbors(a.index))
+            + a.total_hs
+        )
+        if dv - sigma >= 1:
+            needs.add(a.index)
+
+    # candidate edges: aromatic order-1 bonds between two needs-atoms
+    edges_at: dict[int, list[int]] = {i: [] for i in needs}
+    for bi in arom_bonds:
+        b = mol.bonds[bi]
+        if b.a1 in needs and b.a2 in needs:
+            edges_at[b.a1].append(bi)
+            edges_at[b.a2].append(bi)
+
+    matched: dict[int, int] = {}  # atom -> bond index
+
+    def backtrack(pending: list[int]) -> bool:
+        while pending and pending[-1] in matched:
+            pending.pop()
+        if not pending:
+            return True
+        atom = pending[-1]
+        for bi in edges_at[atom]:
+            other = mol.bonds[bi].other(atom)
+            if other in matched:
+                continue
+            matched[atom] = bi
+            matched[other] = bi
+            if backtrack(pending[:]):
+                return True
+            del matched[atom]
+            del matched[other]
+        return False
+
+    # most-constrained-first ordering keeps the backtracking near-linear
+    order = sorted(needs, key=lambda i: -len(edges_at[i]))
+    if not backtrack(order):
+        raise SmilesError("no valid Kekulé structure for the aromatic system")
+    for bi in set(matched.values()):
+        mol.bonds[bi].order = 2
+    for b in mol.bonds:
+        b.aromatic = False
+    for a in mol.atoms:
+        a.aromatic = False
+
+
+def kekulized(mol: Molecule) -> Molecule:
+    """Non-mutating :func:`kekulize` — returns a deep-copied molecule."""
+    import copy
+
+    out = copy.deepcopy(mol)
+    kekulize(out)
+    return out
 
 
 def _upgrade_directional_ring_bonds(mol: Molecule) -> None:
@@ -545,8 +816,13 @@ def _ranks_from_keys(keys) -> list[int]:
 _BOND_SYMBOL = {1: "", 2: "=", 3: "#", 4: "$"}
 
 
-def write_smiles(mol: Molecule) -> str:
-    """Write a canonical SMILES (canonical within this implementation)."""
+def write_smiles(mol: Molecule, kekule: bool = False) -> str:
+    """Write a canonical SMILES (canonical within this implementation).
+
+    ``kekule=True`` writes concrete bond orders instead of aromatic
+    lowercase form (RDKit's ``MolToSmiles(..., kekuleSmiles=True)``)."""
+    if kekule:
+        mol = kekulized(mol)
     n = len(mol.atoms)
     if n == 0:
         return ""
@@ -603,6 +879,10 @@ def write_smiles(mol: Molecule) -> str:
             or a.charge != 0
             or a.isotope != 0
             or a.explicit_hs is not None
+            # a reader of the unbracketed token must re-infer the same H
+            # count (e.g. an aromatized Kekulé-input pyrrole N: bare "n"
+            # would read as 0 Hs, so it must be written "[nH]")
+            or _written_implicit_hs(mol, i) != a.total_hs
         )
         sym = a.symbol.lower() if a.aromatic else a.symbol
         if not needs_bracket:
@@ -656,6 +936,23 @@ def _digit_txt(d: int) -> str:
     return str(d) if d < 10 else f"%{d:02d}"
 
 
-def canonical_smiles(smiles: str) -> str:
+def _written_implicit_hs(mol: Molecule, idx: int) -> int:
+    """H count a parser would infer for atom ``idx`` written UNbracketed
+    (same rules as ``_perceive``, on the bonds as they will be written)."""
+    a = mol.atoms[idx]
+    valences = _DEFAULT_VALENCES.get(a.symbol)
+    if valences is None:
+        return 0
+    sigma = sum(mol.bonds[bi].order_value for bi in mol.neighbors(idx))
+    ev = int(sigma + 0.5)
+    if a.aromatic:
+        return max(0, valences[0] - ev)
+    for v in valences:
+        if ev <= v:
+            return v - ev
+    return 0
+
+
+def canonical_smiles(smiles: str, kekule: bool = False) -> str:
     """Parse and re-write SMILES in this implementation's canonical form."""
-    return write_smiles(parse_smiles(smiles))
+    return write_smiles(parse_smiles(smiles), kekule=kekule)

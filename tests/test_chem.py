@@ -221,6 +221,72 @@ class TestFingerprintFrontend:
         assert r.ids[0] == "M0" and r.scores[0] == 1.0
 
 
+class TestAromaticityPerception:
+    """Hückel aromatization of Kekulé-written rings (RDKit default model)."""
+
+    @pytest.mark.parametrize(
+        "kekule,aromatic",
+        [
+            ("C1=CC=CC=C1", "c1ccccc1"),  # benzene
+            ("C1=CC=CC=N1", "c1ccncc1"),  # pyridine
+            ("C1=CC=CN1", "c1cc[nH]c1"),  # pyrrole
+            ("C1=CC=CO1", "c1ccoc1"),  # furan
+            ("C1=CC=CS1", "c1ccsc1"),  # thiophene
+            ("C1=CN=CN1", "c1c[nH]cn1"),  # imidazole
+            ("C1=CC2=CC=CC=C2C=C1", "c1ccc2ccccc2c1"),  # naphthalene
+            ("O=C1C=CC=CN1", "O=c1cccc[nH]1"),  # 2-pyridone
+            ("[NH+]1=CC=CC=C1", "c1cc[nH+]cc1"),  # pyridinium
+            ("C1=CC2=NC=CC=C2C=C1", "c1ccc2ncccc2c1"),  # quinoline-ish
+        ],
+    )
+    def test_kekule_input_canonicalizes_to_aromatic_form(self, kekule, aromatic):
+        assert canonical_smiles(kekule) == canonical_smiles(aromatic)
+
+    @pytest.mark.parametrize(
+        "smi",
+        [
+            "O=C1C=CC(=O)C=C1",  # quinone
+            "C1=CC=CC1",  # cyclopentadiene (sp3 C)
+            "C1=CC=CC=CC=C1",  # cyclooctatetraene (8 electrons)
+            "C=C1C=CC=C1",  # fulvene
+            "C1CCCCC1",  # cyclohexane
+        ],
+    )
+    def test_antiaromatic_and_saturated_stay_nonaromatic(self, smi):
+        m = parse_smiles(smi)
+        assert not any(a.aromatic for a in m.atoms)
+        assert not any(b.aromatic for b in m.bonds)
+
+    def test_azulene_needs_fused_union(self):
+        m = parse_smiles("C1=CC2=CC=CC=CC2=C1")
+        assert all(a.aromatic for a in m.atoms)
+
+    def test_biphenylene_bridges_stay_single(self):
+        # the central 4-ring has 12 pi electrons (4n): NOT aromatic, even
+        # though every atom sits in an aromatic 6-ring
+        m = parse_smiles("C1=CC2=C(C=C1)C1=C2C=CC=C1")
+        assert all(a.aromatic for a in m.atoms)
+        non_arom = [b for b in m.bonds if b.in_ring and not b.aromatic]
+        assert len(non_arom) == 2
+
+    def test_kekulize_writer_roundtrip(self):
+        from gpusimilarity_tpu.utils.smiles import write_smiles
+
+        for s in ("c1ccccc1", "c1cc[nH]c1", "c1ccc2ccccc2c1",
+                  "O=c1cccc[nH]1", "c1cc[nH+]cc1"):
+            kek = write_smiles(parse_smiles(s), kekule=True)
+            assert "c" not in kek.replace("Cl", "")
+            assert canonical_smiles(kek) == canonical_smiles(s)
+
+    def test_unkekulizable_raises(self):
+        from gpusimilarity_tpu.utils.smiles import kekulized
+
+        with pytest.raises(SmilesError):
+            # 5 aromatic CH each needing a double bond: odd count, no
+            # perfect matching exists
+            kekulized(parse_smiles("c1cccc1"))
+
+
 class TestParserFuzz:
     def test_no_unexpected_exceptions(self):
         """Random garbage either parses or raises SmilesError — never
