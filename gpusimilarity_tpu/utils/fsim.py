@@ -328,11 +328,14 @@ def merge_fsim(
                     "explicit dbkey to override"
                 )
             if d.generator != merged.generator:
-                raise ValueError(
-                    "can't merge databases built by different fingerprint "
-                    f"generators ({d.generator or 'unknown'!r} != "
-                    f"{merged.generator or 'unknown'!r})"
-                )
+                from .fingerprints import compatible_generators
+
+                if d.generator not in compatible_generators(merged.generator):
+                    raise ValueError(
+                        "can't merge databases built by incompatible "
+                        f"fingerprint generators ({d.generator or 'unknown'!r}"
+                        f" != {merged.generator or 'unknown'!r})"
+                    )
         fps.append(d.fingerprints)
         merged.smiles.extend(d.smiles)
         merged.ids.extend(d.ids)
