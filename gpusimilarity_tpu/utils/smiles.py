@@ -282,6 +282,10 @@ def parse_smiles(smiles: str) -> Molecule:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_openings)}")
     if stack:
         raise SmilesError("unclosed branch")
+    if not mol.atoms:
+        raise SmilesError("no atoms in SMILES")
+    if pending_order is not None:
+        raise SmilesError("dangling bond symbol at end of SMILES")
     _merge_explicit_hydrogens(mol)
     _perceive(mol)
     return mol

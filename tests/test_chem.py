@@ -305,7 +305,12 @@ class TestParserFuzz:
                 write_smiles(mol)
                 parsed += 1
             except SmilesError:
-                pass
+                continue
+            try:  # kekulized output may legitimately fail (no matching)...
+                kek = write_smiles(mol, kekule=True)
+            except SmilesError:
+                continue
+            parse_smiles(kek)  # ...but what it writes must reparse
         assert parsed > 50  # sanity: some random strings are valid
 
 
