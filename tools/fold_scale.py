@@ -1,0 +1,209 @@
+"""Beyond-HBM scale demonstration: folded search over 384M rows on one chip.
+
+The reference's headline trick is fingerprint folding: libraries larger than
+GPU memory scan folded (lossy), then candidates re-score exactly on the host
+with full-width data (``fingerprintdb_cuda.cu:307-331``; presentation slides
+10-13: 510M rows fold-8 on 2x1080Ti, 1.02B rows fold-4 on 4xV100). This tool
+reproduces that capability at TPU scale on ONE v5e chip:
+
+* stream-writes a synthetic ``.tfsim`` library of ``--rows`` 1024-bit rows
+  (default 384M = 49 GB of packed fingerprints, 3.9x the chip's usable HBM),
+* loads it memory-mapped, folds fold-``--fold`` on the host (streaming the
+  map once), uploads the folded planar store (default 12.3 GB),
+* runs exact top-k searches: folded scan on device with the reference's
+  k*fold*log2(2*fold) over-fetch, then full-width re-score touching only the
+  candidates' mmap pages,
+* checks exactness: each query IS a library row, so rank-0 must be that row
+  at score 1.0, and every returned score must equal the full-width numpy
+  oracle score.
+
+Usage:  python tools/fold_scale.py [--rows N] [--fold F] [--dir PATH]
+        [--queries Q] [--mode dense|bitplane]
+Writes ~66 GB under --dir (default /tmp/tpusim_fold_scale); reuses it if
+present. Prints one JSON summary line.
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+GiB = 1 << 30
+
+
+def generate_tfsim(path: Path, rows: int, bitcount: int = 1024) -> None:
+    """Stream-write a synthetic .tfsim directory without materializing it."""
+    width = bitcount // 8
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=False)
+    rng = np.random.default_rng(7)
+    t0 = time.monotonic()
+
+    # fingerprints.npy: uint8 (rows, width), streamed in ~512 MB slabs
+    fp_mm = np.lib.format.open_memmap(
+        tmp / "fingerprints.npy", mode="w+", dtype=np.uint8,
+        shape=(rows, width),
+    )
+    slab = (512 * 1024 * 1024) // width
+    for lo in range(0, rows, slab):
+        hi = min(lo + slab, rows)
+        fp_mm[lo:hi] = np.frombuffer(
+            rng.bytes((hi - lo) * width), dtype=np.uint8
+        ).reshape(hi - lo, width)
+        print(f"  fingerprints {hi/rows:5.1%}", end="\r", flush=True)
+    fp_mm.flush()
+    del fp_mm
+    print()
+
+    # ids: "SYN" + 9 digits, 12 bytes/row, vectorized digit extraction
+    id_len = 12
+    with open(tmp / "ids.blob", "wb") as f:
+        chunk = 8 * 1024 * 1024
+        for lo in range(0, rows, chunk):
+            hi = min(lo + chunk, rows)
+            idx = np.arange(lo, hi, dtype=np.int64)
+            out = np.empty((hi - lo, id_len), np.uint8)
+            out[:, 0], out[:, 1], out[:, 2] = 0x53, 0x59, 0x4E  # "SYN"
+            for d in range(9):
+                out[:, 11 - d] = (idx // 10**d) % 10 + 0x30
+            f.write(out.tobytes())
+    off = np.lib.format.open_memmap(
+        tmp / "ids.idx.npy", mode="w+", dtype=np.int64, shape=(rows, 2)
+    )
+    for lo in range(0, rows, 64 * 1024 * 1024):
+        hi = min(lo + 64 * 1024 * 1024, rows)
+        r = np.arange(lo, hi, dtype=np.int64)
+        off[lo:hi, 0] = r * id_len
+        off[lo:hi, 1] = r * id_len + id_len
+    off.flush()
+    del off
+
+    # smiles: every row maps to the same 1-byte "C" (offsets all [0, 1]) —
+    # the string table allows overlapping ranges, and synthetic rows have
+    # no real structures
+    (tmp / "smiles.blob").write_bytes(b"C")
+    soff = np.lib.format.open_memmap(
+        tmp / "smiles.idx.npy", mode="w+", dtype=np.int64, shape=(rows, 2)
+    )
+    soff[:, 0] = 0
+    soff[:, 1] = 1
+    soff.flush()
+    del soff
+
+    (tmp / "meta.json").write_text(
+        json.dumps(
+            {
+                "format_version": 1,
+                "dbkey": "scale",
+                "bitcount": bitcount,
+                "count": rows,
+                "generator": "synthetic-random",
+            }
+        )
+    )
+    tmp.rename(path)
+    print(f"  generated {rows:,} rows in {time.monotonic() - t0:.1f}s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=384 * 1024 * 1024)
+    ap.add_argument("--fold", type=int, default=4)
+    ap.add_argument("--dir", default="/tmp/tpusim_fold_scale")
+    ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--mode", default="dense", choices=("dense", "bitplane"))
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:  # env var alone is not enough: the axon plugin wins
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    lib_dir = Path(args.dir) / f"rows{args.rows}.tfsim"
+    if not lib_dir.exists():
+        print(f"generating synthetic library at {lib_dir} ...")
+        generate_tfsim(lib_dir, args.rows)
+
+    from gpusimilarity_tpu.models.fingerprint_db import FingerprintDB
+    from gpusimilarity_tpu.ops.scan import scores_np
+    from gpusimilarity_tpu.utils.tfsim import load_native
+
+    t0 = time.monotonic()
+    data = load_native(lib_dir)
+    load_s = time.monotonic() - t0
+    print(f"mapped {data.count:,} rows ({data.fingerprints.nbytes / GiB:.1f} "
+          f"GiB) in {load_s:.2f}s")
+
+    t0 = time.monotonic()
+    db = FingerprintDB(data, fold_factor=args.fold, scan_mode=args.mode)
+    build_s = time.monotonic() - t0
+    device_gib = args.rows * (128 / args.fold) / GiB
+    print(f"folded x{db.fold_factor} + uploaded ~{device_gib:.1f} GiB in "
+          f"{build_s:.1f}s")
+
+    rng = np.random.default_rng(123)
+    q_rows = rng.choice(args.rows, size=args.queries, replace=False)
+    full = data.packed_words()
+
+    t0 = time.monotonic()
+    r = db.search(np.array(full[q_rows[0]]), k=args.k, dbkey="scale")
+    compile_s = time.monotonic() - t0
+    lat = []
+    exact_ok = 0
+    for qi in q_rows:
+        query = np.array(full[qi])
+        t0 = time.monotonic()
+        r = db.search(query, k=args.k, dbkey="scale", return_indices=True)
+        lat.append(time.monotonic() - t0)
+        # exactness: rank 0 is the query row at 1.0, and every candidate
+        # score equals the full-width oracle
+        oracle = scores_np(
+            np.array(full[np.asarray(r.indices)]), query[None, :]
+        )[0]
+        if (
+            r.indices[0] == qi
+            and r.scores[0] == 1.0
+            and np.allclose(r.scores, oracle, atol=1e-6)
+        ):
+            exact_ok += 1
+    p50 = statistics.median(lat)
+    print(
+        json.dumps(
+            {
+                "metric": "folded_search_p50_ms",
+                "value": round(p50 * 1e3, 2),
+                "unit": "ms",
+                "rows": args.rows,
+                "fold": db.fold_factor,
+                "mode": args.mode,
+                "k": args.k,
+                "library_gib": round(args.rows * 128 / GiB, 1),
+                "device_gib": round(device_gib, 1),
+                "exact_self_match": f"{exact_ok}/{args.queries}",
+                "fps_per_chip": round(args.rows / p50, 1),
+                "load_s": round(load_s, 2),
+                "fold_upload_s": round(build_s, 1),
+                "compile_plus_first_s": round(compile_s, 1),
+            }
+        )
+    )
+    assert exact_ok == args.queries, "exactness check failed"
+
+
+if __name__ == "__main__":
+    main()
