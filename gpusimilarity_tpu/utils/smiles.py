@@ -399,6 +399,22 @@ def _electron_contribution(mol: Molecule, idx: int) -> tuple[int, int | None]:
     a = mol.atoms[idx]
     if a.symbol not in _PI_ELEMENTS:
         return _DISQUALIFIED, None
+    if any(mol.bonds[bi].aromatic for bi in mol.neighbors(idx)):
+        # member of a written-aromatic system (mixed-form input like
+        # "c1ccc2c(c1)C=CC=C2"): if it is valence-short it holds one
+        # delocalized pi electron there; otherwise fall through to the
+        # lone-pair / exocyclic typing below
+        valences = _DEFAULT_VALENCES.get(a.symbol)
+        if valences is not None:
+            dv = valences[0] + (
+                -a.charge if a.symbol in _EARLY_ELEMENTS else a.charge
+            )
+            sigma = (
+                sum(mol.bonds[bi].order for bi in mol.neighbors(idx))
+                + a.total_hs
+            )
+            if dv - sigma >= 1:
+                return 1, None
     multiple = [
         bi
         for bi in mol.neighbors(idx)
@@ -487,8 +503,8 @@ def _aromatize(mol: Molecule) -> None:
     for atoms, bonds in _smallest_rings(mol):
         if len(atoms) > 24:
             continue
-        if any(mol.bonds[bi].aromatic for bi in bonds):
-            continue  # written-aromatic (or already upgraded): trusted
+        if all(mol.bonds[bi].aromatic for bi in bonds):
+            continue  # fully written-aromatic: trusted as-is
         for i in atoms:
             if i not in contrib:
                 contrib[i] = _electron_contribution(mol, i)

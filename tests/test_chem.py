@@ -257,6 +257,20 @@ class TestAromaticityPerception:
         assert not any(a.aromatic for a in m.atoms)
         assert not any(b.aromatic for b in m.bonds)
 
+    @pytest.mark.parametrize(
+        "mixed,pure",
+        [
+            ("c1ccc2c(c1)C=CC=C2", "c1ccc2ccccc2c1"),  # half-Kekulé naphthalene
+            ("c1ccc2c(c1)C=CN2", "c1ccc2[nH]ccc2c1"),  # half-Kekulé indole
+        ],
+    )
+    def test_mixed_form_input(self, mixed, pure):
+        assert canonical_smiles(mixed) == canonical_smiles(pure)
+
+    def test_tetralin_saturated_ring_stays(self):
+        m = parse_smiles("c1ccc2c(c1)CCCC2")
+        assert sum(a.aromatic for a in m.atoms) == 6
+
     def test_azulene_needs_fused_union(self):
         m = parse_smiles("C1=CC2=CC=CC=CC2=C1")
         assert all(a.aromatic for a in m.atoms)
