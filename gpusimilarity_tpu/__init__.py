@@ -10,11 +10,20 @@ folding, multi-database merging, and an HTTP/JSON front end.
 __version__ = "0.1.0"
 
 from .utils.fsim import FingerprintData, read_fsim, write_fsim, merge_fsim  # noqa: F401
+from .utils.fingerprints import (  # noqa: F401
+    smiles_to_fingerprint_bin,
+    generator_tag,
+)
+from .utils.smiles import canonical_smiles, parse_smiles  # noqa: F401
 
 __all__ = [
     "FingerprintData",
     "read_fsim",
     "write_fsim",
     "merge_fsim",
+    "smiles_to_fingerprint_bin",
+    "generator_tag",
+    "canonical_smiles",
+    "parse_smiles",
     "__version__",
 ]
