@@ -789,13 +789,23 @@ def canonical_ranks(mol: Molecule) -> list[int]:
     # ties are — for chemical graphs — true automorphisms, where any
     # tie-break choice yields the same output string.
     if len(set(ranks)) < n:
-        dists = _all_pairs_dists(mol)
+        # profiles are only needed to split TIED atoms — atoms with a
+        # unique rank are already distinguished, so BFS only from the tied
+        # ones (most molecules have a few tied atoms, not n)
+        counts: dict[int, int] = {}
+        for r in ranks:
+            counts[r] = counts.get(r, 0) + 1
+        dists = {
+            i: _bfs_dists(mol, i)
+            for i in range(n)
+            if counts[ranks[i]] > 1
+        }
         keys2 = [
             (
                 ranks[i],
                 tuple(sorted(
                     (dists[i][j], ranks[j]) for j in range(n) if j != i
-                )),
+                )) if i in dists else (),
             )
             for i in range(n)
         ]
@@ -809,23 +819,20 @@ def canonical_ranks(mol: Molecule) -> list[int]:
     return ranks
 
 
-def _all_pairs_dists(mol: Molecule) -> list[list[int]]:
-    """Graph distances by BFS from every atom (disconnected pairs get a
-    large sentinel so they still compare deterministically)."""
+def _bfs_dists(mol: Molecule, src: int) -> list[int]:
+    """Graph distances from ``src`` (disconnected atoms get a large
+    sentinel so they still compare deterministically)."""
     n = len(mol.atoms)
-    out = []
-    for src in range(n):
-        dist = [n + 1] * n
-        dist[src] = 0
-        queue = deque([src])
-        while queue:
-            v = queue.popleft()
-            for u in mol.neighbor_atoms(v):
-                if dist[u] > dist[v] + 1:
-                    dist[u] = dist[v] + 1
-                    queue.append(u)
-        out.append(dist)
-    return out
+    dist = [n + 1] * n
+    dist[src] = 0
+    queue = deque([src])
+    while queue:
+        v = queue.popleft()
+        for u in mol.neighbor_atoms(v):
+            if dist[u] > dist[v] + 1:
+                dist[u] = dist[v] + 1
+                queue.append(u)
+    return dist
 
 
 def _ranks_from_keys(keys) -> list[int]:
