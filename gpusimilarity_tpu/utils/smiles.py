@@ -259,11 +259,15 @@ def parse_smiles(smiles: str) -> Molecule:
         elif c == "(":
             if prev is None:
                 raise SmilesError("branch before any atom")
+            if pending_order is not None:
+                raise SmilesError("bond symbol before '('")
             stack.append(prev)
             i += 1
         elif c == ")":
             if not stack:
                 raise SmilesError("unbalanced parentheses")
+            if pending_order is not None:
+                raise SmilesError("dangling bond symbol before ')'")
             prev = stack.pop()
             i += 1
         elif c == ".":
@@ -354,28 +358,35 @@ def _perceive(mol: Molecule) -> None:
     for atom in mol.atoms:
         if atom.explicit_hs is not None:
             continue  # bracket atoms: explicit H count is authoritative
-        sigma = (
-            sum(mol.bonds[bi].order_value for bi in mol.neighbors(atom.index))
-            + atom.merged_hs
-        )
-        valences = _DEFAULT_VALENCES.get(atom.symbol)
-        if valences is None:  # '*' or unbracketed unknown: no implicit H
-            atom.implicit_hs = 0
-            continue
-        ev = int(sigma + 0.5)  # aromatic half-integers round up, like RDKit
-        if atom.aromatic:
-            # RDKit rule: aromatic atoms take implicit Hs only up to the
-            # DEFAULT (lowest) valence — thiophene 's' gets 0 Hs, not
-            # valence-4's 1; benzene 'c' still gets 1
-            atom.implicit_hs = max(0, valences[0] - ev)
-            continue
-        for v in valences:
-            if ev <= v:
-                atom.implicit_hs = v - ev
-                break
-        else:
-            atom.implicit_hs = 0  # hypervalent as written: no implicit H
+        atom.implicit_hs = _implicit_hs(mol, atom.index, atom.merged_hs)
     _aromatize(mol)
+
+
+def _implicit_hs(mol: Molecule, idx: int, extra_sigma: int = 0) -> int:
+    """Implicit-H count from the written bond orders (aromatic = 1.5).
+
+    RDKit rules: half-integer aromatic sums round up; aromatic atoms take
+    implicit Hs only up to the DEFAULT (lowest) valence — thiophene 's'
+    gets 0 Hs, not valence-4's 1, while benzene 'c' still gets 1;
+    aliphatic atoms step up through the allowed valence list. Also used by
+    the writer to decide whether an unbracketed token would re-infer the
+    atom's true H count (``extra_sigma`` carries merged [H] neighbors at
+    perception time only — a written token has none)."""
+    a = mol.atoms[idx]
+    valences = _DEFAULT_VALENCES.get(a.symbol)
+    if valences is None:  # '*' or unbracketed unknown: no implicit H
+        return 0
+    sigma = (
+        sum(mol.bonds[bi].order_value for bi in mol.neighbors(idx))
+        + extra_sigma
+    )
+    ev = int(sigma + 0.5)
+    if a.aromatic:
+        return max(0, valences[0] - ev)
+    for v in valences:
+        if ev <= v:
+            return v - ev
+    return 0  # hypervalent as written: no implicit H
 
 
 # -------------------------------------------------------- aromaticity model
@@ -383,6 +394,24 @@ def _perceive(mol: Molecule) -> None:
 
 _EARLY_ELEMENTS = {"B", "Al"}  # charge flips sign in valence adjustment
 _PI_ELEMENTS = {"C", "N", "O", "S", "P", "Se", "Te", "As"}
+
+
+def _valence_shortfall(mol: Molecule, idx: int) -> int | None:
+    """How many bond-order units atom ``idx`` is short of its (charge-
+    adjusted) default valence, counting aromatic bonds as written order 1.
+    ``None`` for elements without a known valence. Shared by kekulization
+    (shortfall >= 1 means the atom needs a double bond) and aromaticity
+    perception (a valence-short member of a written-aromatic system holds
+    one pi electron)."""
+    a = mol.atoms[idx]
+    valences = _DEFAULT_VALENCES.get(a.symbol)
+    if valences is None:
+        return None
+    dv = valences[0] + (-a.charge if a.symbol in _EARLY_ELEMENTS else a.charge)
+    sigma = (
+        sum(mol.bonds[bi].order for bi in mol.neighbors(idx)) + a.total_hs
+    )
+    return dv - sigma
 
 _DISQUALIFIED = -1  # atom can never sit in an aromatic ring
 _INCOMPLETE = -2  # pi partner outside the evaluated ring but in a ring
@@ -404,17 +433,9 @@ def _electron_contribution(mol: Molecule, idx: int) -> tuple[int, int | None]:
         # "c1ccc2c(c1)C=CC=C2"): if it is valence-short it holds one
         # delocalized pi electron there; otherwise fall through to the
         # lone-pair / exocyclic typing below
-        valences = _DEFAULT_VALENCES.get(a.symbol)
-        if valences is not None:
-            dv = valences[0] + (
-                -a.charge if a.symbol in _EARLY_ELEMENTS else a.charge
-            )
-            sigma = (
-                sum(mol.bonds[bi].order for bi in mol.neighbors(idx))
-                + a.total_hs
-            )
-            if dv - sigma >= 1:
-                return 1, None
+        shortfall = _valence_shortfall(mol, idx)
+        if shortfall is not None and shortfall >= 1:
+            return 1, None
     multiple = [
         bi
         for bi in mol.neighbors(idx)
@@ -501,8 +522,6 @@ def _aromatize(mol: Molecule) -> None:
     candidates = []
     contrib: dict[int, tuple[int, int | None]] = {}
     for atoms, bonds in _smallest_rings(mol):
-        if len(atoms) > 24:
-            continue
         if all(mol.bonds[bi].aromatic for bi in bonds):
             continue  # fully written-aromatic: trusted as-is
         for i in atoms:
@@ -601,17 +620,8 @@ def kekulize(mol: Molecule) -> None:
     for a in mol.atoms:
         if not a.aromatic:
             continue
-        valences = _DEFAULT_VALENCES.get(a.symbol)
-        if valences is None:
-            continue
-        dv = valences[0] + (
-            -a.charge if a.symbol in _EARLY_ELEMENTS else a.charge
-        )
-        sigma = (
-            sum(mol.bonds[bi].order for bi in mol.neighbors(a.index))
-            + a.total_hs
-        )
-        if dv - sigma >= 1:
+        shortfall = _valence_shortfall(mol, a.index)
+        if shortfall is not None and shortfall >= 1:
             needs.add(a.index)
 
     # candidate edges: aromatic order-1 bonds between two needs-atoms
@@ -622,36 +632,79 @@ def kekulize(mol: Molecule) -> None:
             edges_at[b.a1].append(bi)
             edges_at[b.a2].append(bi)
 
+    # solve each connected component of the needs-graph independently:
+    # failures stay local (no exponential re-exploration of unrelated
+    # rings) and odd-sized components fail in O(1) — no perfect matching
+    # can cover an odd vertex count
     matched: dict[int, int] = {}  # atom -> bond index
-
-    def backtrack(pending: list[int]) -> bool:
-        while pending and pending[-1] in matched:
-            pending.pop()
-        if not pending:
-            return True
-        atom = pending[-1]
-        for bi in edges_at[atom]:
-            other = mol.bonds[bi].other(atom)
-            if other in matched:
-                continue
-            matched[atom] = bi
-            matched[other] = bi
-            if backtrack(pending[:]):
-                return True
-            del matched[atom]
-            del matched[other]
-        return False
-
-    # most-constrained-first ordering keeps the backtracking near-linear
-    order = sorted(needs, key=lambda i: -len(edges_at[i]))
-    if not backtrack(order):
-        raise SmilesError("no valid Kekulé structure for the aromatic system")
+    seen: set[int] = set()
+    budget = [200_000]
+    for root in sorted(needs):
+        if root in seen:
+            continue
+        group = []
+        queue = [root]
+        seen.add(root)
+        while queue:
+            v = queue.pop()
+            group.append(v)
+            for bi in edges_at[v]:
+                u = mol.bonds[bi].other(v)
+                if u in needs and u not in seen:
+                    seen.add(u)
+                    queue.append(u)
+        if len(group) % 2 or not _match_kekule(
+            group, edges_at, mol, matched, budget
+        ):
+            raise SmilesError(
+                "no valid Kekulé structure for the aromatic system"
+            )
     for bi in set(matched.values()):
         mol.bonds[bi].order = 2
     for b in mol.bonds:
         b.aromatic = False
     for a in mol.atoms:
         a.aromatic = False
+
+
+def _match_kekule(
+    atoms: list[int],
+    edges_at: dict[int, list[int]],
+    mol: Molecule,
+    matched: dict[int, int],
+    budget: list[int],
+) -> bool:
+    """Perfect matching over one needs-component by backtracking with
+    dynamic most-constrained-first selection (an atom with one remaining
+    option is forced, so chains and simple rings resolve without search).
+    The work budget turns pathological inputs into a clean error instead
+    of an effectively-infinite search."""
+    free = [a for a in atoms if a not in matched]
+    if not free:
+        return True
+    best, best_opts = None, None
+    for a in free:
+        opts = [
+            bi for bi in edges_at[a] if mol.bonds[bi].other(a) not in matched
+        ]
+        if not opts:
+            return False  # a needs-atom with no partner: dead branch
+        if best_opts is None or len(opts) < len(best_opts):
+            best, best_opts = a, opts
+            if len(opts) == 1:
+                break
+    for bi in best_opts:
+        budget[0] -= 1
+        if budget[0] <= 0:
+            raise SmilesError("kekulization exceeded its work budget")
+        other = mol.bonds[bi].other(best)
+        matched[best] = bi
+        matched[other] = bi
+        if _match_kekule(atoms, edges_at, mol, matched, budget):
+            return True
+        del matched[best]
+        del matched[other]
+    return False
 
 
 def kekulized(mol: Molecule) -> Molecule:
@@ -909,7 +962,7 @@ def write_smiles(mol: Molecule, kekule: bool = False) -> str:
             # a reader of the unbracketed token must re-infer the same H
             # count (e.g. an aromatized Kekulé-input pyrrole N: bare "n"
             # would read as 0 Hs, so it must be written "[nH]")
-            or _written_implicit_hs(mol, i) != a.total_hs
+            or _implicit_hs(mol, i) != a.total_hs
         )
         sym = a.symbol.lower() if a.aromatic else a.symbol
         if not needs_bracket:
@@ -963,21 +1016,6 @@ def _digit_txt(d: int) -> str:
     return str(d) if d < 10 else f"%{d:02d}"
 
 
-def _written_implicit_hs(mol: Molecule, idx: int) -> int:
-    """H count a parser would infer for atom ``idx`` written UNbracketed
-    (same rules as ``_perceive``, on the bonds as they will be written)."""
-    a = mol.atoms[idx]
-    valences = _DEFAULT_VALENCES.get(a.symbol)
-    if valences is None:
-        return 0
-    sigma = sum(mol.bonds[bi].order_value for bi in mol.neighbors(idx))
-    ev = int(sigma + 0.5)
-    if a.aromatic:
-        return max(0, valences[0] - ev)
-    for v in valences:
-        if ev <= v:
-            return v - ev
-    return 0
 
 
 def canonical_smiles(smiles: str, kekule: bool = False) -> str:

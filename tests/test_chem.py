@@ -95,7 +95,9 @@ class TestParser:
 
     @pytest.mark.parametrize(
         "bad",
-        ["", "C(", "C)", "C1CC", "[C", "C%4", "Xx", "1CC", "[]", "C..C"],
+        ["", "C(", "C)", "C1CC", "[C", "C%4", "Xx", "1CC", "[]", "C..C",
+         # bond-symbols-only, dangling bond at end / before ')' / after '('
+         "#-", "C=", "C(C=)O", "C=(C)O"],
     )
     def test_malformed_raises(self, bad):
         with pytest.raises(SmilesError):
@@ -299,6 +301,31 @@ class TestAromaticityPerception:
             # 5 aromatic CH each needing a double bond: odd count, no
             # perfect matching exists
             kekulized(parse_smiles("c1cccc1"))
+
+    def test_pathological_kekulize_terminates_fast(self):
+        """Tangled nested ring-number-reuse input used to hang the naive
+        backtracking matcher for minutes (round-2 review); component
+        decomposition + forced moves + the work budget must finish it in
+        well under a second either way."""
+        import time
+
+        from gpusimilarity_tpu.utils.smiles import kekulized
+
+        n = 40  # 240 atoms
+        s = "c1ccc(" * (n - 1) + "c1ccccc1" + ")cc1" * (n - 1)
+        t0 = time.monotonic()
+        try:
+            kekulized(parse_smiles(s))
+        except SmilesError:
+            pass  # a clean refusal is acceptable; hanging is not
+        assert time.monotonic() - t0 < 5.0
+
+    def test_26_annulene_aromatic(self):
+        # 13 double bonds = 26 pi electrons = 4n+2: aromatic in the
+        # electron-counting model (no ring-size cap)
+        m = parse_smiles("C1" + "=CC" * 12 + "=C1")
+        assert len(m.atoms) == 26
+        assert all(a.aromatic for a in m.atoms)
 
 
 class TestParserFuzz:
