@@ -68,6 +68,12 @@ def parse_args(argv=None):
         "first live query then pays the XLA compile)",
     )
     parser.add_argument(
+        "--warmup_batch", default=8, type=int,
+        help="also precompile coalesced-batch shapes up to this bucket "
+        "(the batching layer groups concurrent requests; without this the "
+        "first burst pays a live compile). 1 = single-query shapes only",
+    )
+    parser.add_argument(
         "--jax_profiler_port", default=0, type=int,
         help="start the JAX profiler server (TensorBoard-attachable) on this port",
     )
@@ -130,7 +136,9 @@ def main(argv=None):
         use_pallas=use_pallas,
     )
     if not args.no_warmup:
-        registry.warmup()
+        registry.warmup(
+            max_batch=min(args.warmup_batch, args.max_batch)
+        )
     server = SimilarityServer(
         registry,
         hostname=args.hostname,

@@ -29,6 +29,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import threading
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -121,6 +122,12 @@ class FingerprintDB:
                 chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
             )
         self._search_fns: dict = {}
+        # the batching front end dispatches request groups on a thread
+        # pool: per-key locks stop two threads from racing the same
+        # multi-minute XLA compile, while different shapes still compile
+        # concurrently
+        self._fn_locks_guard = threading.Lock()
+        self._fn_locks: dict = {}
         # distinct compiled search programs (bucketed batch x bucketed k x
         # similarity x plane bucket); /stats exposes the registry-wide sum
         self.compile_count = 0
@@ -155,28 +162,41 @@ class FingerprintDB:
     ):
         key = (k_fetch, batch, similarity, plane_bucket)
         fn = self._search_fns.get(key)
-        if fn is None:
-            if self.scan_mode == "bitplane":
-                fn = sharded.build_bitplane_search_fn(
-                    self._store, k_fetch, similarity, batch, plane_bucket,
-                    use_pallas=self.use_pallas,
-                )
-            else:
-                fn = sharded.build_search_fn(
-                    self._store, k_fetch, similarity, batch,
-                    use_pallas=self.use_pallas,
-                )
-            self._search_fns[key] = fn
-            self.compile_count += 1
+        if fn is not None:
+            return fn
+        with self._fn_locks_guard:
+            lock = self._fn_locks.setdefault(key, threading.Lock())
+        with lock:
+            fn = self._search_fns.get(key)
+            if fn is None:
+                if self.scan_mode == "bitplane":
+                    fn = sharded.build_bitplane_search_fn(
+                        self._store, k_fetch, similarity, batch, plane_bucket,
+                        use_pallas=self.use_pallas,
+                    )
+                else:
+                    fn = sharded.build_search_fn(
+                        self._store, k_fetch, similarity, batch,
+                        use_pallas=self.use_pallas,
+                    )
+                self._search_fns[key] = fn
+                with self._fn_locks_guard:
+                    self.compile_count += 1
         return fn
 
-    def warmup(self, ks: Sequence[int] = (20, 128)) -> None:
-        """Precompile the common single-query search shapes.
+    def warmup(
+        self, ks: Sequence[int] = (20, 128), max_batch: int = 1
+    ) -> None:
+        """Precompile the common search shapes.
 
         Remote XLA compiles cost minutes in production; without this the
         first real query after startup eats the compile (the HTTP layer's
         503-until-ready is a stopgap, not a fix). Uses a real library row
         when available so the bitplane plane bucket matches live traffic.
+        ``max_batch``: also compile every batch bucket up to it — the
+        batching front end coalesces concurrent requests into groups, so
+        single-query warmup alone would leave the first traffic burst
+        paying a live compile (the server passes its ``--max_batch``).
         """
         if self.count == 0:
             return
@@ -188,8 +208,16 @@ class FingerprintDB:
             nset = min(48, self.bitcount)
             bits[rng.choice(self.bitcount, nset, replace=False)] = 1
             query = np.packbits(bits, bitorder="little").view(np.uint32)
-        for k in ks:
-            self.search(query, k=min(int(k), self.count), dbkey=self.dbkey)
+        batches = [1]
+        for bucket in _BATCH_BUCKETS[1:]:
+            if bucket <= max_batch:
+                batches.append(bucket)
+        for b in batches:
+            for k in ks:
+                self.search_batch(
+                    np.tile(query, (b, 1)), k=min(int(k), self.count),
+                    dbkey=self.dbkey,
+                )
 
     def search(
         self,

@@ -135,12 +135,14 @@ class DatabaseRegistry:
     def __contains__(self, name: str) -> bool:
         return name in self._dbs
 
-    def warmup(self, ks: Sequence[int] = (20, 128)) -> None:
+    def warmup(
+        self, ks: Sequence[int] = (20, 128), max_batch: int = 1
+    ) -> None:
         """Precompile each database's common search shapes (see
         ``FingerprintDB.warmup``); called at server start unless disabled."""
         for name, db in self._dbs.items():
             t0 = time.monotonic()
-            db.warmup(ks=ks)
+            db.warmup(ks=ks, max_batch=max_batch)
             log.info("warmed up %s (%.2fs)", name, time.monotonic() - t0)
 
     def stats(self) -> dict:

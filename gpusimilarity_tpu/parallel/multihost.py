@@ -58,6 +58,11 @@ def process_row_span(mesh, n_padded: int, axis: str = SHARD_AXIS) -> tuple[int, 
 
     devs = list(mesh.devices.reshape(-1))
     n_shards = len(devs)
+    if n_padded % n_shards:
+        raise ValueError(
+            f"n_padded={n_padded} is not divisible by {n_shards} shards — "
+            "pad rows to the shard count before computing spans"
+        )
     per_shard = n_padded // n_shards
     mine = [i for i, d in enumerate(devs) if d.process_index == jax.process_index()]
     if not mine:

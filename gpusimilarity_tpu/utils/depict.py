@@ -429,5 +429,12 @@ def smiles_to_svg(smiles: str, size: int = 200) -> str:
             return ""
     try:
         return mol_to_svg(parse_smiles(smiles), size=size)
-    except (SmilesError, Exception):
+    except SmilesError:
+        return ""  # unparseable input: expected, no depiction
+    except Exception:  # layout/renderer defect: keep the UI up, but log it
+        import logging
+
+        logging.getLogger("tpusimilarity").debug(
+            "depiction failed for %r", smiles, exc_info=True
+        )
         return ""

@@ -220,6 +220,13 @@ def _write_fsim_sidecar(path: str | os.PathLike, data: FingerprintData) -> None:
     if data.generator:
         with open(_sidecar_path(path), "w") as f:
             json.dump({"generator": data.generator}, f)
+    else:
+        # rewriting a .fsim with untagged data must not leave the previous
+        # build's tag attached to the new fingerprints
+        try:
+            os.remove(_sidecar_path(path))
+        except OSError:
+            pass
 
 
 def _chunk_rows(total_rows: int, row_bytes: int, limit: int) -> list[tuple[int, int]]:
@@ -330,11 +337,18 @@ def merge_fsim(
             if d.generator != merged.generator:
                 from .fingerprints import compatible_generators
 
-                if d.generator not in compatible_generators(merged.generator):
+                # an untagged file (e.g. reference-built) is unknown, not
+                # incompatible — same policy as the server's guard; the
+                # merged output keeps the tagged side's provenance
+                if not merged.generator:
+                    merged.generator = d.generator
+                elif d.generator and (
+                    d.generator not in compatible_generators(merged.generator)
+                ):
                     raise ValueError(
                         "can't merge databases built by incompatible "
-                        f"fingerprint generators ({d.generator or 'unknown'!r}"
-                        f" != {merged.generator or 'unknown'!r})"
+                        f"fingerprint generators ({d.generator!r}"
+                        f" != {merged.generator!r})"
                     )
         fps.append(d.fingerprints)
         merged.smiles.extend(d.smiles)

@@ -288,3 +288,50 @@ class TestCompileBuckets:
         db.search(q, k=20, dbkey="w")
         db.search(q, k=128, dbkey="w")
         assert db.compile_count == compiled  # warm shapes: no new programs
+
+    def test_warmup_covers_batch_buckets(self, rng):
+        """warmup(max_batch=N) precompiles coalesced-group shapes: a batch
+        arriving after warmup must not build a new program (round-2 review:
+        single-query warmup left the first burst paying a live compile)."""
+        from conftest import random_fingerprint_data
+
+        data = random_fingerprint_data(rng, count=500, dbkey="w")
+        db = FingerprintDB(data)
+        db.warmup(max_batch=4)
+        compiled = db.compile_count
+        q = data.packed_words()[:3]  # 3 queries -> batch bucket 4
+        db.search_batch(q, k=20, dbkey="w")
+        assert db.compile_count == compiled
+
+    def test_concurrent_same_shape_compiles_once(self, rng):
+        """Two threads racing the same (k, batch, similarity) key must not
+        both run the multi-minute build (round-2 review finding)."""
+        import threading
+        from unittest import mock
+
+        from conftest import random_fingerprint_data
+        from gpusimilarity_tpu.parallel import sharded
+
+        data = random_fingerprint_data(rng, count=400, dbkey="")
+        db = FingerprintDB(data)
+        import time
+
+        builds = []
+        real = sharded.build_search_fn
+
+        def slow_build(*a, **kw):
+            builds.append(1)
+            time.sleep(0.5)  # hold the build so the second thread races in
+            return real(*a, **kw)
+
+        q = data.packed_words()[0]
+        with mock.patch.object(sharded, "build_search_fn", slow_build):
+            ts = [
+                threading.Thread(target=lambda: db.search(q, k=10, dbkey=""))
+                for _ in range(2)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        assert len(builds) == 1, f"duplicate compile: {len(builds)}"

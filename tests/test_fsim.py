@@ -188,6 +188,43 @@ class TestMerge:
         merged = merge_fsim([pa, pb], tmp_path / "m.fsim", dbkey="forced")
         assert merged.dbkey == "forced"
 
+    def test_merge_untagged_with_tagged(self, tmp_path, rng):
+        """An untagged file (e.g. reference-built) is unknown provenance,
+        not incompatible — merge succeeds and keeps the tagged side's tag
+        (round-2 review finding)."""
+        a = random_fingerprint_data(rng, count=4, dbkey="k")
+        b = random_fingerprint_data(rng, count=4, dbkey="k")
+        a.generator = ""
+        b.generator = "rdkit-morgan-r2-1024"
+        pa, pb = tmp_path / "a.fsim", tmp_path / "b.fsim"
+        write_fsim(pa, a)
+        write_fsim(pb, b)
+        merged = merge_fsim([pa, pb], tmp_path / "m.fsim")
+        assert merged.generator == "rdkit-morgan-r2-1024"
+        # compatible pair still merges; incompatible still refuses
+        c = random_fingerprint_data(rng, count=4, dbkey="k")
+        c.generator = "rdkit-compat-morgan-r2-1024"
+        pc = tmp_path / "c.fsim"
+        write_fsim(pc, c)
+        assert merge_fsim([pb, pc], tmp_path / "m2.fsim").count == 8
+        d = random_fingerprint_data(rng, count=4, dbkey="k")
+        d.generator = "builtin-morgan-r2-1024"
+        pd = tmp_path / "d.fsim"
+        write_fsim(pd, d)
+        with pytest.raises(ValueError):
+            merge_fsim([pb, pd], tmp_path / "m3.fsim")
+
+    def test_untagged_rewrite_clears_stale_sidecar(self, tmp_path, rng):
+        a = random_fingerprint_data(rng, count=4, dbkey="k")
+        a.generator = "rdkit-morgan-r2-1024"
+        p = tmp_path / "x.fsim"
+        write_fsim(p, a)
+        assert read_fsim(p).generator == "rdkit-morgan-r2-1024"
+        b = random_fingerprint_data(rng, count=4, dbkey="k")
+        b.generator = ""
+        write_fsim(p, b)  # rewrite in place with untagged data
+        assert read_fsim(p).generator == ""
+
     def test_merge_bitcount_mismatch(self, tmp_path, rng):
         a = random_fingerprint_data(rng, count=3, bitcount=1024)
         b = random_fingerprint_data(rng, count=3, bitcount=512)

@@ -46,7 +46,7 @@ def run(b, qpop, mc8, reps=5):
     cuts = np.zeros(b, np.float32)
 
     def go():
-        bm, cnt = pallas_bitplane_phase1_batched(
+        bm, cnt, _colmax = pallas_bitplane_phase1_batched(
             planes, pops3, jnp.asarray(idx), jnp.asarray(qpops),
             jnp.asarray(cuts), ab, jnp.int32(0),
             mc8=mc8, bw8=8, n_valid=N_ROWS,
