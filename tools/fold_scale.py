@@ -44,8 +44,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 GiB = 1 << 30
 
 
-def generate_tfsim(path: Path, rows: int, bitcount: int = 1024) -> None:
-    """Stream-write a synthetic .tfsim directory without materializing it."""
+def generate_tfsim(
+    path: Path, rows: int, bitcount: int = 1024, and_slabs: int = 1
+) -> None:
+    """Stream-write a synthetic .tfsim directory without materializing it.
+
+    ``and_slabs``: AND together k independent random slabs, giving bit
+    density 0.5^k — k=4 (6.25%, ~64/1024 bits) approximates real Morgan
+    fingerprints' sparsity, which is what the bitplane scan mode exploits.
+    """
     width = bitcount // 8
     tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
     tmp.mkdir(parents=True, exist_ok=False)
@@ -60,9 +67,12 @@ def generate_tfsim(path: Path, rows: int, bitcount: int = 1024) -> None:
     slab = (512 * 1024 * 1024) // width
     for lo in range(0, rows, slab):
         hi = min(lo + slab, rows)
-        fp_mm[lo:hi] = np.frombuffer(
-            rng.bytes((hi - lo) * width), dtype=np.uint8
-        ).reshape(hi - lo, width)
+        buf = np.frombuffer(
+            bytearray(rng.bytes((hi - lo) * width)), dtype=np.uint8
+        )
+        for _ in range(and_slabs - 1):
+            buf &= np.frombuffer(rng.bytes((hi - lo) * width), dtype=np.uint8)
+        fp_mm[lo:hi] = buf.reshape(hi - lo, width)
         print(f"  fingerprints {hi/rows:5.1%}", end="\r", flush=True)
     fp_mm.flush()
     del fp_mm
@@ -126,6 +136,10 @@ def main():
     ap.add_argument("--queries", type=int, default=8)
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--mode", default="dense", choices=("dense", "bitplane"))
+    ap.add_argument(
+        "--and_slabs", type=int, default=1,
+        help="AND k random slabs: bit density 0.5^k (4 = Morgan-like 6.25%%)",
+    )
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -140,10 +154,11 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    lib_dir = Path(args.dir) / f"rows{args.rows}.tfsim"
+    density = "" if args.and_slabs == 1 else f"_d{args.and_slabs}"
+    lib_dir = Path(args.dir) / f"rows{args.rows}{density}.tfsim"
     if not lib_dir.exists():
         print(f"generating synthetic library at {lib_dir} ...")
-        generate_tfsim(lib_dir, args.rows)
+        generate_tfsim(lib_dir, args.rows, and_slabs=args.and_slabs)
 
     from gpusimilarity_tpu.models.fingerprint_db import FingerprintDB
     from gpusimilarity_tpu.ops.scan import scores_np
