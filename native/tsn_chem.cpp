@@ -876,27 +876,19 @@ void morgan_bits(const Mol& mol, int radius, int nbits, uint8_t* out_bits) {
     std::vector<BondSet> atom_nbhd(n);
     std::vector<char> dead(n, 0);
 
+    std::vector<std::pair<int32_t, uint32_t>> nbrs;
+    std::vector<int> live;  // atoms contributing this round, sorted later
     for (int layer = 0; layer < radius; ++layer) {
         auto round_inv = invariants;
         auto round_nbhd = atom_nbhd;
-        struct Entry {
-            BondSet env;
-            uint32_t invar;
-            int atom;
-            bool operator<(const Entry& o) const {
-                if (!(env == o.env)) return env < o.env;
-                if (invar != o.invar) return invar < o.invar;
-                return atom < o.atom;
-            }
-        };
-        std::vector<Entry> this_round;
+        live.clear();
         for (int i = 0; i < n; ++i) {
             if (dead[i]) continue;
             if (mol.degree(i) == 0) {
                 dead[i] = 1;
                 continue;
             }
-            std::vector<std::pair<int32_t, uint32_t>> nbrs;
+            nbrs.clear();
             for (int bi : mol.nbrs[i]) {
                 const Bond& bnd = mol.bonds[bi];
                 int o = bnd.other(i);
@@ -911,24 +903,30 @@ void morgan_bits(const Mol& mol, int radius, int nbits, uint8_t* out_bits) {
             for (auto& [bt, nv] : nbrs)
                 invar = hash_combine32(invar, hash_pair32((uint32_t)bt, nv));
             round_inv[i] = invar;
-            this_round.push_back({round_nbhd[i], invar, i});
+            live.push_back(i);
             for (auto& nb : neighborhoods)
                 if (nb == round_nbhd[i]) {
                     dead[i] = 1;
                     break;
                 }
         }
-        std::sort(this_round.begin(), this_round.end());
-        for (auto& entry : this_round) {
+        // (env, invariant, atom) emission order without copying bond sets
+        std::sort(live.begin(), live.end(), [&](int a, int b) {
+            if (!(round_nbhd[a] == round_nbhd[b]))
+                return round_nbhd[a] < round_nbhd[b];
+            if (round_inv[a] != round_inv[b]) return round_inv[a] < round_inv[b];
+            return a < b;
+        });
+        for (int i : live) {
             bool seen = false;
             for (auto& nb : neighborhoods)
-                if (nb == entry.env) {
+                if (nb == round_nbhd[i]) {
                     seen = true;
                     break;
                 }
             if (!seen) {
-                set_bit(entry.invar);
-                neighborhoods.push_back(entry.env);
+                set_bit(round_inv[i]);
+                neighborhoods.push_back(round_nbhd[i]);
             }
         }
         invariants.swap(round_inv);
@@ -938,35 +936,76 @@ void morgan_bits(const Mol& mol, int radius, int nbits, uint8_t* out_bits) {
 
 // ------------------------------------------------------- canonical ranks
 
-std::vector<int> ranks_from_keys(const std::vector<std::vector<int64_t>>& keys) {
-    std::vector<std::vector<int64_t>> uniq(keys.begin(), keys.end());
-    std::sort(uniq.begin(), uniq.end());
-    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
-    std::vector<int> out(keys.size());
-    for (size_t i = 0; i < keys.size(); ++i)
-        out[i] = (int)(std::lower_bound(uniq.begin(), uniq.end(), keys[i]) -
-                       uniq.begin());
+// keys live in one flat arena as (offset, length) spans: same comparison
+// semantics as Python's tuple keys (lexicographic, shorter-prefix first)
+// without per-key allocations
+struct KeyArena {
+    std::vector<int64_t> data;
+    std::vector<std::pair<uint32_t, uint32_t>> spans;  // (offset, len)
+
+    void clear() {
+        data.clear();
+        spans.clear();
+    }
+    void begin_key() { spans.emplace_back((uint32_t)data.size(), 0); }
+    void push(int64_t v) {
+        data.push_back(v);
+        spans.back().second += 1;
+    }
+    bool less(int a, int b) const {
+        auto [oa, la] = spans[a];
+        auto [ob, lb] = spans[b];
+        uint32_t m = std::min(la, lb);
+        for (uint32_t i = 0; i < m; ++i) {
+            if (data[oa + i] != data[ob + i]) return data[oa + i] < data[ob + i];
+        }
+        return la < lb;
+    }
+    bool equal(int a, int b) const {
+        auto [oa, la] = spans[a];
+        auto [ob, lb] = spans[b];
+        if (la != lb) return false;
+        for (uint32_t i = 0; i < la; ++i)
+            if (data[oa + i] != data[ob + i]) return false;
+        return true;
+    }
+};
+
+std::vector<int> ranks_from_arena(const KeyArena& arena) {
+    int n = (int)arena.spans.size();
+    std::vector<int> idx(n);
+    for (int i = 0; i < n; ++i) idx[i] = i;
+    std::sort(idx.begin(), idx.end(),
+              [&](int a, int b) { return arena.less(a, b); });
+    std::vector<int> out(n);
+    int rank = 0;
+    for (int k = 0; k < n; ++k) {
+        if (k > 0 && !arena.equal(idx[k - 1], idx[k])) ++rank;
+        out[idx[k]] = rank;
+    }
     return out;
 }
 
 std::vector<int> refine(const Mol& mol, std::vector<int> ranks) {
     int n = (int)mol.atoms.size();
+    KeyArena arena;
+    std::vector<std::pair<int, int>> neigh;
     for (int iter = 0; iter < n; ++iter) {
-        std::vector<std::vector<int64_t>> keys(n);
+        arena.clear();
         for (int i = 0; i < n; ++i) {
-            std::vector<std::pair<int, int>> neigh;
+            neigh.clear();
             for (int bi : mol.nbrs[i])
                 neigh.emplace_back(mol.bonds[bi].order2(),
                                    ranks[mol.bonds[bi].other(i)]);
             std::sort(neigh.begin(), neigh.end());
-            auto& k = keys[i];
-            k.push_back(ranks[i]);
+            arena.begin_key();
+            arena.push(ranks[i]);
             for (auto& [ov, r] : neigh) {
-                k.push_back(ov);
-                k.push_back(r);
+                arena.push(ov);
+                arena.push(r);
             }
         }
-        auto new_ranks = ranks_from_keys(keys);
+        auto new_ranks = ranks_from_arena(arena);
         if (new_ranks == ranks) break;
         ranks = new_ranks;
     }
@@ -994,13 +1033,19 @@ std::vector<int> bfs_dists(const Mol& mol, int src) {
 
 std::vector<int> canonical_ranks(const Mol& mol) {
     int n = (int)mol.atoms.size();
-    std::vector<std::vector<int64_t>> inv(n);
+    KeyArena arena;
     for (int i = 0; i < n; ++i) {
         const Atom& a = mol.atoms[i];
-        inv[i] = {atomic_number(a.symbol), a.aromatic ? 1 : 0, a.charge,
-                  a.total_hs(), mol.degree(i), a.in_ring ? 1 : 0, a.isotope};
+        arena.begin_key();
+        arena.push(atomic_number(a.symbol));
+        arena.push(a.aromatic ? 1 : 0);
+        arena.push(a.charge);
+        arena.push(a.total_hs());
+        arena.push(mol.degree(i));
+        arena.push(a.in_ring ? 1 : 0);
+        arena.push(a.isotope);
     }
-    auto ranks = refine(mol, ranks_from_keys(inv));
+    auto ranks = refine(mol, ranks_from_arena(arena));
     auto distinct = [&](const std::vector<int>& r) {
         std::set<int> s(r.begin(), r.end());
         return (int)s.size();
@@ -1008,31 +1053,30 @@ std::vector<int> canonical_ranks(const Mol& mol) {
     if (distinct(ranks) < n) {
         std::vector<int> counts(n, 0);
         for (int r : ranks) counts[r]++;
-        std::map<int, std::vector<int>> dists;
-        for (int i = 0; i < n; ++i)
-            if (counts[ranks[i]] > 1) dists[i] = bfs_dists(mol, i);
-        std::vector<std::vector<int64_t>> keys2(n);
+        arena.clear();
+        std::vector<std::pair<int, int>> prof;
         for (int i = 0; i < n; ++i) {
-            keys2[i].push_back(ranks[i]);
-            auto it = dists.find(i);
-            if (it != dists.end()) {
-                std::vector<std::pair<int, int>> prof;
+            arena.begin_key();
+            arena.push(ranks[i]);
+            if (counts[ranks[i]] > 1) {
+                auto dist = bfs_dists(mol, i);
+                prof.clear();
                 for (int j = 0; j < n; ++j)
-                    if (j != i) prof.emplace_back(it->second[j], ranks[j]);
+                    if (j != i) prof.emplace_back(dist[j], ranks[j]);
                 std::sort(prof.begin(), prof.end());
                 // marker separating profiled from empty-profile keys: the
                 // Python tuple () vs ((d, r), ...) comparison — a profiled
                 // key is always "longer". Mirror by appending a flag first.
-                keys2[i].push_back(1);
+                arena.push(1);
                 for (auto& [d, r] : prof) {
-                    keys2[i].push_back(d);
-                    keys2[i].push_back(r);
+                    arena.push(d);
+                    arena.push(r);
                 }
             } else {
-                keys2[i].push_back(0);
+                arena.push(0);
             }
         }
-        ranks = refine(mol, ranks_from_keys(keys2));
+        ranks = refine(mol, ranks_from_arena(arena));
     }
     while (distinct(ranks) < n) {
         std::vector<int> counts(n, 0);
@@ -1043,10 +1087,13 @@ std::vector<int> canonical_ranks(const Mol& mol) {
         int chosen = -1;
         for (int i = 0; i < n; ++i)
             if (ranks[i] == dup_rank) { chosen = i; break; }
-        std::vector<std::vector<int64_t>> keys2(n);
-        for (int i = 0; i < n; ++i)
-            keys2[i] = {ranks[i], i == chosen ? 0 : 1};
-        ranks = refine(mol, ranks_from_keys(keys2));
+        arena.clear();
+        for (int i = 0; i < n; ++i) {
+            arena.begin_key();
+            arena.push(ranks[i]);
+            arena.push(i == chosen ? 0 : 1);
+        }
+        ranks = refine(mol, ranks_from_arena(arena));
     }
     return ranks;
 }
