@@ -76,6 +76,8 @@ def smiles_to_fingerprint_bin(
             Chem.MolToSmiles(mol).encode("utf-8"),
         )
 
+    if bitcount % 32:
+        raise ValueError("bitcount must be a multiple of 32 (packed words)")
     from . import native
 
     if native.available():
@@ -91,10 +93,12 @@ def smiles_to_fingerprint_bin(
 
     try:
         mol = parse_smiles(smiles)
+        packed = pack_bits(morgan_bits(mol, radius, bitcount))
+        # the writer can also reject (e.g. >99 simultaneously open ring
+        # closures) — same FingerprintError contract as the native path
+        return packed, write_smiles(mol).encode("utf-8")
     except SmilesError as e:
         raise FingerprintError(f"Bad structure: {e}") from e
-    packed = pack_bits(morgan_bits(mol, radius, bitcount))
-    return packed, write_smiles(mol).encode("utf-8")
 
 
 def fingerprint_bin_to_words(fp_binary: bytes, bitcount: int = BITCOUNT) -> np.ndarray:

@@ -219,6 +219,8 @@ def smiles_fingerprint(
     lib = _load()
     if lib is None:
         raise ImportError("native library not available")
+    if nbits % 8:
+        raise ValueError("nbits must be a multiple of 8")
     fp = ctypes.create_string_buffer(nbits // 8)
     cap = max(4096, 8 * len(smiles) + 64)
     canon = ctypes.create_string_buffer(cap)

@@ -127,12 +127,18 @@ def _parse_bracket(s: str, pos: int) -> tuple[Atom, int]:
     isotope = 0
     while i < n and body[i].isdigit():
         isotope = isotope * 10 + int(body[i])
+        if isotope > 9999:  # no real isotope has 5 digits; bounds the int
+            raise SmilesError(f"isotope out of range: [{body}]")
         i += 1
     # element (possibly aromatic lowercase, possibly two letters)
     if i >= n:
         raise SmilesError(f"bracket atom missing element: [{body}]")
     aromatic = False
-    if body[i : i + 2].lower() in _AROMATIC_SYMBOLS and body[i : i + 2].islower():
+    if (
+        i + 1 < n
+        and body[i : i + 2].islower()
+        and body[i : i + 2] in _AROMATIC_SYMBOLS
+    ):
         symbol, aromatic, i = body[i : i + 2].capitalize(), True, i + 2
     elif i + 1 < n and body[i].isupper() and body[i + 1].islower() and (
         body[i : i + 2] in _ATOMIC_NUMBERS
@@ -164,6 +170,8 @@ def _parse_bracket(s: str, pos: int) -> tuple[Atom, int]:
             mag = 0
             while i < n and body[i].isdigit():
                 mag = mag * 10 + int(body[i])
+                if mag > 99:  # chemically absurd; bounds the int
+                    raise SmilesError(f"charge out of range: [{body}]")
                 i += 1
             charge += sign * mag
         else:
@@ -187,9 +195,12 @@ def _parse_bracket(s: str, pos: int) -> tuple[Atom, int]:
     )
 
 
+_ASCII_WS = " \t\r\n\v\f"  # explicit set: the native parser strips the same
+
+
 def parse_smiles(smiles: str) -> Molecule:
     """Parse SMILES into a Molecule, perceiving implicit hydrogens and rings."""
-    s = smiles.strip()
+    s = smiles.strip(_ASCII_WS)
     if not s:
         raise SmilesError("empty SMILES")
     mol = Molecule()
@@ -277,7 +288,7 @@ def parse_smiles(smiles: str) -> Molecule:
                 raise SmilesError("bond symbol before '.'")
             prev = None
             i += 1
-        elif c.isspace():
+        elif c in _ASCII_WS:
             break  # SMILES ends at whitespace (title/ID follows)
         else:
             raise SmilesError(f"unexpected character {c!r} at {i}")
@@ -993,6 +1004,10 @@ def write_smiles(mol: Molecule, kekule: bool = False) -> str:
                 digit_free.append(digit)
                 out.append(bond_token(bi) + _digit_txt(digit))
             else:  # opening end
+                if not digit_free:
+                    raise SmilesError(
+                        "more than 99 ring closures open at once"
+                    )
                 digit = digit_free.pop()
                 open_digits[bi] = digit
                 out.append(bond_token(bi) + _digit_txt(digit))

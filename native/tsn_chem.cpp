@@ -215,6 +215,7 @@ BracketAtom parse_bracket(const std::string& s, size_t pos) {
     int isotope = 0;
     while (i < n && is_digit(body[i])) {
         isotope = isotope * 10 + (body[i] - '0');
+        if (isotope > 9999) throw ParseError{"isotope out of range"};
         ++i;
     }
     a.isotope = isotope;
@@ -266,6 +267,7 @@ BracketAtom parse_bracket(const std::string& s, size_t pos) {
             int mag = 0;
             while (i < n && is_digit(body[i])) {
                 mag = mag * 10 + (body[i] - '0');
+                if (mag > 99) throw ParseError{"charge out of range"};
                 ++i;
             }
             charge += sign * mag;
@@ -505,9 +507,8 @@ struct Ring {
 };
 
 std::vector<Ring> smallest_rings(const Mol& mol) {
-    std::map<std::set<int>, std::set<int>> rings;  // bonds -> atoms
-    std::vector<std::set<int>> order_keys;  // preserve discovery order
-    std::vector<Ring> out;
+    std::map<std::set<int>, std::set<int>> rings;  // bonds -> atoms (dedup)
+    std::vector<Ring> out;  // discovery order
     for (size_t bi = 0; bi < mol.bonds.size(); ++bi) {
         const Bond& b = mol.bonds[bi];
         if (!b.in_ring) continue;
@@ -661,10 +662,10 @@ void perceive(Mol& mol) {
 
 Mol parse_smiles(const std::string& input) {
     std::string s = input;
-    // strip
-    size_t b = s.find_first_not_of(" \t\r\n");
+    // strip ASCII whitespace (the Python spec strips the same explicit set)
+    size_t b = s.find_first_not_of(" \t\r\n\v\f");
     if (b == std::string::npos) throw ParseError{"empty SMILES"};
-    size_t e = s.find_last_not_of(" \t\r\n");
+    size_t e = s.find_last_not_of(" \t\r\n\v\f");
     s = s.substr(b, e - b + 1);
 
     Mol mol;
@@ -1227,6 +1228,9 @@ std::string write_smiles(const Mol& mol) {
                     digit_free.push_back(digit);
                     f.out += bond_token(mol, bi) + digit_txt(digit);
                 } else {
+                    if (digit_free.empty())
+                        throw ParseError{
+                            "more than 99 ring closures open at once"};
                     int digit = digit_free.back();
                     digit_free.pop_back();
                     open_digits[bi] = digit;
