@@ -128,6 +128,13 @@ def main(argv=None):
         on_tpu = jax.default_backend() not in ("cpu",)
         scan_mode = "bitplane" if on_tpu else "dense"
         use_pallas = use_pallas or on_tpu
+        explicit_fold = str(args.fold) not in ("auto", "1")
+        if explicit_fold:
+            # folding already shrinks the device data; the bit-sliced
+            # mode's win is UNfolded sparse queries, and folded queries
+            # densify (fold-4 Morgan: ~60 of 256 planes). Measured: dense
+            # fold-4 beats bitplane fold-4 by 5-12x. Auto picks dense.
+            scan_mode = "dense"
     registry = DatabaseRegistry.from_fsim_files(
         args.dbnames,
         device_bitcount=args.device_bitcount,

@@ -20,11 +20,13 @@ reproduces that capability at TPU scale on ONE v5e chip:
 Usage:  python tools/fold_scale.py [--rows N] [--fold F] [--dir PATH]
         [--queries Q] [--mode dense|bitplane]
 
-Mode note: the synthetic rows are 50%-dense random bits, so fold-4 queries
-set ~all 256 folded planes — bitplane mode degenerates to reading the whole
-library serially (measured 2.7 s vs dense's 106 ms at 384M rows). Bitplane's
-win is SPARSE queries (real Morgan: ~50/1024 bits; see bench.py's qpop=50
-numbers); use dense mode for this random-data demo.
+Mode note: use dense mode for folded searches. Folding densifies queries
+(even Morgan-sparse rows at fold 4 select ~60 of 256 planes) and the
+bit-sliced mode's selection stage scales poorly with the fold over-fetch:
+measured at 402M rows, dense fold-4 = 106 ms vs bitplane fold-4 = 2.1 s
+(sparse library) / 2.7 s (50%-dense library). Bitplane's win is UNfolded
+sparse single queries (bench.py's qpop=50 numbers). The server's auto
+scan mode picks dense whenever an explicit fold factor is set.
 Writes ~66 GB under --dir (default /tmp/tpusim_fold_scale); reuses it if
 present. Prints one JSON summary line.
 """
