@@ -44,14 +44,19 @@ for batchsize in (1, 2, 4, 8):
         list(ex.map(query, range(batchsize)))
     print("  bucket", batchsize, "compiled", flush=True)
 
-t0 = time.monotonic()
 N = 256
-with cf.ThreadPoolExecutor(32) as ex:
-    lat = list(ex.map(lambda i: query(i, 120), range(N)))
-wall = time.monotonic() - t0
-lat.sort()
-print(f"LOAD OK: {N} queries in {wall:.1f}s = {N/wall:.1f} qps; "
-      f"p50={lat[N//2]*1e3:.0f}ms p99={lat[int(N*0.99)]*1e3:.0f}ms", flush=True)
+for label in ("cold", "warm"):
+    # first pass soaks relay/dispatch cold-start stalls; the warm pass is
+    # the steady-state number (observed: cold 14-35 qps with multi-second
+    # relay stalls, warm 150-170 qps)
+    t0 = time.monotonic()
+    with cf.ThreadPoolExecutor(32) as ex:
+        lat = list(ex.map(lambda i: query(i, 120), range(N)))
+    wall = time.monotonic() - t0
+    lat.sort()
+    print(f"LOAD {label}: {N} queries in {wall:.1f}s = {N/wall:.1f} qps; "
+          f"p50={lat[N//2]*1e3:.0f}ms p99={lat[int(N*0.99)]*1e3:.0f}ms",
+          flush=True)
 PY
 curl -s http://localhost:8135/stats | python -c "import json,sys; s=json.load(sys.stdin); print('server stats: searches =', s['searches'])"
 kill $SRV
