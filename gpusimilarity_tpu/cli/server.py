@@ -43,7 +43,8 @@ def parse_args(argv=None):
     parser.add_argument("--batch_window_ms", default=2.0, type=float,
                         help="batching window in milliseconds")
     parser.add_argument(
-        "--scan_mode", default="auto", choices=("auto", "dense", "bitplane"),
+        "--scan_mode", default="auto",
+        choices=("auto", "dense", "bitplane"),
         help="dense packed-word scan, bit-sliced sparse-query scan, or auto "
         "(bitplane + Pallas kernel on TPU — best single-query latency; "
         "dense on CPU)",
@@ -91,6 +92,28 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def resolve_scan_mode(
+    scan_mode: str, pallas: bool, fold, backend: str
+) -> tuple[str, bool]:
+    """Resolve ``--scan_mode auto`` to a concrete (mode, use_pallas).
+
+    On TPU the bit-sliced Pallas scan gives the best single-query latency,
+    EXCEPT for explicitly folded libraries: folding already shrinks the
+    device data and densifies queries (fold-4 Morgan selects ~60 of 256
+    planes), and measured at 402M rows dense fold-4 beats bitplane fold-4
+    by 5-12x — so an explicit fold > 1 picks dense. ``fold`` of None (auto)
+    keeps the bitplane default.
+    """
+    if scan_mode != "auto":
+        return scan_mode, pallas
+    on_tpu = backend not in ("cpu",)
+    mode = "bitplane" if on_tpu else "dense"
+    use_pallas = pallas or on_tpu
+    if fold is not None and int(fold) > 1:
+        mode = "dense"
+    return mode, use_pallas
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(
@@ -123,18 +146,9 @@ def main(argv=None):
     from ..models.registry import DatabaseRegistry
     from ..serve.server import SimilarityServer
 
-    scan_mode, use_pallas = args.scan_mode, args.pallas
-    if scan_mode == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        scan_mode = "bitplane" if on_tpu else "dense"
-        use_pallas = use_pallas or on_tpu
-        explicit_fold = str(args.fold) not in ("auto", "1")
-        if explicit_fold:
-            # folding already shrinks the device data; the bit-sliced
-            # mode's win is UNfolded sparse queries, and folded queries
-            # densify (fold-4 Morgan: ~60 of 256 planes). Measured: dense
-            # fold-4 beats bitplane fold-4 by 5-12x. Auto picks dense.
-            scan_mode = "dense"
+    scan_mode, use_pallas = resolve_scan_mode(
+        args.scan_mode, args.pallas, args.fold, jax.default_backend()
+    )
     registry = DatabaseRegistry.from_fsim_files(
         args.dbnames,
         device_bitcount=args.device_bitcount,

@@ -40,7 +40,14 @@ def available_device_memory(devices: Optional[Sequence[jax.Device]] = None) -> O
     if devices is None:
         devices = jax.devices()
     total = 0
+    n_remote = 0
     for d in devices:
+        if d.process_index != jax.process_index():
+            # memory_stats raises on non-addressable remote devices; their
+            # HBM matches a local device's, so extrapolate below instead of
+            # silently disabling the auto-fold in multi-host jobs
+            n_remote += 1
+            continue
         try:
             stats = d.memory_stats()
         except Exception:
@@ -48,6 +55,11 @@ def available_device_memory(devices: Optional[Sequence[jax.Device]] = None) -> O
         if not stats or "bytes_limit" not in stats:
             return None
         total += stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+    n_local = len(devices) - n_remote
+    if n_local == 0:
+        return None
+    if n_remote:
+        total += (total // n_local) * n_remote
     return total
 
 

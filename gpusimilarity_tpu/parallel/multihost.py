@@ -47,12 +47,12 @@ def initialize(
     )
 
 
-def process_row_span(mesh, n_padded: int, axis: str = SHARD_AXIS) -> tuple[int, int]:
+def process_row_span(mesh, n_padded: int) -> tuple[int, int]:
     """Global row range [lo, hi) owned by THIS process's devices.
 
-    Shards own contiguous column ranges in mesh-device order, so a
-    process's span is contiguous as long as its devices are contiguous in
-    the mesh (the default ordering from ``jax.devices()``).
+    Shards own contiguous column ranges in mesh-device order (the flattened
+    1-D mesh), so a process's span is contiguous as long as its devices are
+    contiguous in the mesh (the default ordering from ``jax.devices()``).
     """
     import jax
 

@@ -245,7 +245,10 @@ def build_bitplane_store(
     # a multiple of its 1024-word chunk: 262144 columns
     align = 262144 if with_pops3 else 8192
     chunk = min(chunk_cols, _round_up(per_shard, align))
-    per_shard = _round_up(per_shard, chunk if chunk % align == 0 else align)
+    # the chunk itself must be a multiple of the alignment: a caller-chosen
+    # unaligned chunk_cols would otherwise skew the sub-row interleave and
+    # silently skip tail columns in the chunked scan
+    chunk = max(align, (chunk // align) * align)
     per_shard = _round_up(per_shard, chunk)
     n_padded = per_shard * n_shards
 
@@ -601,6 +604,13 @@ def _bitplane_local_topk(
     mc8 = max(1, min(chunk_cols, n_shard_cols) // 256)
     n_chunks = max(1, m8s // mc8)
     mc8 = m8s // n_chunks
+    if n_chunks * mc8 != m8s:
+        # store construction aligns the shard width to the chunk; anything
+        # else would silently skip tail columns in the chunked scan
+        raise ValueError(
+            f"shard sub-row width {m8s} is not divisible into chunks of "
+            f"{mc8} — build the store with an aligned chunk_cols"
+        )
     chunk_cols_eff = mc8 * 256
 
     bw8 = max(1, SELECT_BLOCK_COLS // 256)  # sub-words per block

@@ -132,7 +132,24 @@ class BatchingSearcher:
             for item in batch:
                 groups.setdefault(item.group_key(), []).append(item)
             for key, items in groups.items():
-                self._pool.submit(self._run_group, key, items)
+                try:
+                    self._pool.submit(self._run_group, key, items)
+                except RuntimeError:
+                    # pool already shut down (close() raced a slow drain):
+                    # run inline so no caller's future hangs for its full
+                    # result() timeout
+                    self._run_group(key, items)
+        # resolve anything still queued at shutdown instead of leaving the
+        # callers blocked in future.result()
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("server shutting down")
+                )
 
     def _run_group(self, key, items):
         dbnames, dbkeys, similarity, alpha, beta = key

@@ -29,6 +29,7 @@ import json
 import logging
 import threading
 import urllib.parse
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from email.parser import BytesParser
 from email.policy import HTTP as HTTP_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -39,7 +40,6 @@ import numpy as np
 from ..models.registry import DatabaseRegistry
 from ..ops.scan import TANIMOTO, TVERSKY
 from ..utils.fingerprints import (
-    BITCOUNT,
     FingerprintError,
     fingerprint_bin_to_words,
     compatible_generators,
@@ -47,6 +47,10 @@ from ..utils.fingerprints import (
     smiles_to_query_words,
 )
 from .batching import BatchingSearcher
+
+# request-size guard: the largest top-k a client may ask for (the engine
+# would happily compile top_k over the whole library otherwise)
+MAX_RETURN_COUNT = 10_000
 
 log = logging.getLogger("tpusimilarity.http")
 
@@ -76,7 +80,10 @@ def parse_form(content_type: str, body: bytes) -> dict[str, str]:
         for part in msg.iter_parts():
             name = part.get_param("name", header="content-disposition")
             if name:
-                out[name] = part.get_content().strip()
+                value = part.get_content()
+                if isinstance(value, bytes):  # file/octet-stream parts
+                    value = value.decode("utf-8", "replace")
+                out[name] = value.strip()
         return out
     raise RequestError(f"unsupported content type {content_type!r}")
 
@@ -122,6 +129,12 @@ class SearchService:
             raise RequestError(f"bad numeric parameter: {e}") from e
         if k < 1:
             raise RequestError("return_count must be >= 1")
+        if k > MAX_RETURN_COUNT:
+            # a huge k would compile a full-library top_k and materialize
+            # per-shard score arrays — an unauthenticated resource DoS
+            raise RequestError(
+                f"return_count must be <= {MAX_RETURN_COUNT}"
+            )
         similarity = form.get("similarity", TANIMOTO).lower()
         if similarity not in (TANIMOTO, TVERSKY):
             raise RequestError(f"unknown similarity {similarity!r}")
@@ -296,7 +309,9 @@ def make_handler(service: SearchService, debug_ui: bool):
                 self._send_json(400, {"error": str(e)})
             except KeyError as e:
                 self._send_json(400, {"error": str(e.args[0]) if e.args else str(e)})
-            except TimeoutError:
+            except (TimeoutError, FuturesTimeoutError):
+                # two except types: concurrent.futures.TimeoutError only
+                # became an alias of the builtin in Python 3.11
                 self._send_json(
                     503,
                     {"error": "search timed out (first query of a new batch "

@@ -60,10 +60,16 @@ def parse_request(buf: bytes):
         keys.append((r.read_string() or b"").decode("utf-8"))
     request_num = r.read_int32()
     return_count = r.read_int32()
+    if not 1 <= return_count <= 1_000_000:
+        # same resource guard as the HTTP layer: a huge (or negative) k
+        # would compile a full-library top_k on behalf of any local client
+        raise ValueError(f"implausible return_count {return_count}")
     cutoff = r.read_double()
     fp = r.read_bytearray()
     if fp is None:
         raise ValueError("null fingerprint")
+    if len(fp) > 1 << 16:
+        raise ValueError(f"implausible fingerprint size {len(fp)}")
     return (
         {
             "dbnames": names,
@@ -117,6 +123,11 @@ class SocketProtocolServer:
                     try:
                         req, used = parse_request(buf)
                     except QtStreamError:
+                        if len(buf) > 16 << 20:
+                            # a bogus length prefix would otherwise make us
+                            # buffer gigabytes before ever failing
+                            log.warning("oversized socket request dropped")
+                            return
                         chunk = self.request.recv(1 << 20)
                         if not chunk:
                             return

@@ -491,3 +491,75 @@ class TestProvenanceGuard:
             [tmp_path / "a.fsim", tmp_path / "a2.fsim"], tmp_path / "m.fsim"
         )
         assert merged.generator == "rdkit-morgan-r2-1024"
+
+
+class TestRound2ReviewFixes:
+    """Regressions for the round-2 serving/parallel review findings."""
+
+    def test_auto_scan_mode_fold_none_keeps_bitplane(self):
+        from gpusimilarity_tpu.cli.server import resolve_scan_mode
+
+        # fold=None (the CLI default, meaning auto) must NOT force dense:
+        # the documented TPU default is bitplane+Pallas
+        assert resolve_scan_mode("auto", False, None, "tpu") == (
+            "bitplane", True,
+        )
+        assert resolve_scan_mode("auto", False, 4, "tpu") == ("dense", True)
+        assert resolve_scan_mode("auto", False, 1, "tpu") == (
+            "bitplane", True,
+        )
+        assert resolve_scan_mode("auto", False, None, "cpu") == (
+            "dense", False,
+        )
+        assert resolve_scan_mode("bitplane", False, 4, "tpu") == (
+            "bitplane", False,  # explicit mode is never overridden
+        )
+
+    def test_return_count_upper_bound(self, server):
+        from gpusimilarity_tpu.serve.server import MAX_RETURN_COUNT
+
+        status, payload = post(
+            server, "/similarity_search_json",
+            {"smiles": "CCO", "return_count": MAX_RETURN_COUNT + 1,
+             "similarity_cutoff": 0, "dbnames": "corpus"},
+            expect_error=True,
+        )
+        assert status == 400 and "return_count" in payload["error"]
+
+    def test_socket_return_count_bounds(self):
+        import pytest
+
+        from gpusimilarity_tpu.serve.socket_server import parse_request
+        from gpusimilarity_tpu.utils.qtstream import QtStreamWriter
+
+        def req(count):
+            w = QtStreamWriter()
+            w.write_int32(1)
+            w.write_string(b"db")
+            w.write_string(b"")
+            w.write_int32(7)  # request_num
+            w.write_int32(count)
+            w.write_double(0.0)
+            w.write_bytearray(b"\x00" * 128)
+            return w.getvalue()
+
+        parsed, _ = parse_request(req(20))
+        assert parsed["return_count"] == 20
+        for bad in (0, -5, 2**31 - 1):
+            with pytest.raises(ValueError):
+                parse_request(req(bad))
+
+    def test_bitplane_store_unaligned_chunk_cols(self, rng):
+        """A caller-chosen unaligned chunk width must not skew the sub-row
+        layout or skip tail columns (it silently did before the fix)."""
+        import numpy as np
+
+        from gpusimilarity_tpu.models import FingerprintDB
+        from conftest import random_fingerprint_data
+
+        data = random_fingerprint_data(rng, count=9000)
+        db = FingerprintDB(data, scan_mode="bitplane", chunk_cols=5000)
+        words = data.packed_words()
+        for qi in (0, 4444, 8999):
+            r = db.search(np.array(words[qi]), k=3, return_indices=True)
+            assert r.indices[0] == qi and r.scores[0] == 1.0
