@@ -7,7 +7,7 @@ Tanimoto/Tversky top-k similarity searches with cutoff filtering, fingerprint
 folding, multi-database merging, and an HTTP/JSON front end.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .utils.fsim import FingerprintData, read_fsim, write_fsim, merge_fsim  # noqa: F401
 from .utils.fingerprints import (  # noqa: F401
