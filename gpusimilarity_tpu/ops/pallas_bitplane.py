@@ -139,10 +139,16 @@ def _batched_kernel(
             # denom is a non-negative integer and is 0 only when cf is 0
             # (common <= min(qpop, pop)), so max(denom, 1) never changes a
             # real score and avoids 0/0 for empty (padded) queries
-            s = cf / jnp.maximum(qpop + pop - cf, 1.0)
+            denom = qpop + pop - cf
+            s = cf / jnp.maximum(denom, 1.0)
         else:
             denom = alpha * (qpop - cf) + beta * (pop - cf) + cf
             s = jnp.where(denom > 0, cf / jnp.maximum(denom, 1e-30), 0.0)
+        # TPU reciprocal-multiply division can give c/c = 0.99999994; a
+        # self-match must score exactly 1.0 or cutoff=1.0 counts diverge
+        # from the pinned paths (scan.similarity_from_counts,
+        # pallas_scan) — same pin as scan.py:89-93
+        s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
         s = jnp.where(col_base + b < n_valid, s, NEG_INF)
         bmax = jnp.maximum(bmax, s)
         count = count + (s >= cutoff).astype(jnp.int32)

@@ -63,6 +63,8 @@ def smiles_to_fingerprint_bin(
     Same contract as the reference utility: raises on unparseable input;
     ``trust_smiles`` skips full sanitization where supported.
     """
+    if bitcount % 32:
+        raise ValueError("bitcount must be a multiple of 32 (packed words)")
     if HAVE_RDKIT:
         mol = Chem.MolFromSmiles(smiles, sanitize=(not trust_smiles))
         if mol is None:
@@ -76,8 +78,6 @@ def smiles_to_fingerprint_bin(
             Chem.MolToSmiles(mol).encode("utf-8"),
         )
 
-    if bitcount % 32:
-        raise ValueError("bitcount must be a multiple of 32 (packed words)")
     from . import native
 
     if native.available():

@@ -246,16 +246,16 @@ def _chunk_rows(total_rows: int, row_bytes: int, limit: int) -> list[tuple[int, 
 def _chunk_strings(strings: Sequence[bytes], limit: int) -> list[bytes]:
     """Pack strings into writeString chunks, rolling at ~``limit`` bytes."""
     chunks: list[bytes] = []
-    parts: list[bytes] = []
+    w = QtStreamWriter()
     size = 0
     for s in strings:
-        rec_size = len(s) + 5  # uint32 length + payload + NUL
-        if size >= limit and parts:
-            chunks.append(b"".join(parts))
-            parts, size = [], 0
-        parts.append(pack_string_chunk([s]))
-        size += rec_size
-    chunks.append(b"".join(parts))
+        if size >= limit and size:
+            chunks.append(w.getvalue())
+            w = QtStreamWriter()
+            size = 0
+        w.write_string(s)
+        size += len(s) + 5  # uint32 length + payload + NUL
+    chunks.append(w.getvalue())
     return chunks
 
 
@@ -317,6 +317,8 @@ def merge_fsim(
         raise ValueError("no input files")
     merged: Optional[FingerprintData] = None
     fps: list[np.ndarray] = []
+    smiles_tables: list = []
+    ids_tables: list = []
     for p in inputs:
         d = read_fsim(p)
         if merged is None:
@@ -351,11 +353,31 @@ def merge_fsim(
                         f" != {merged.generator!r})"
                     )
         fps.append(d.fingerprints)
-        merged.smiles.extend(d.smiles)
-        merged.ids.extend(d.ids)
+        smiles_tables.append(d.smiles)
+        ids_tables.append(d.ids)
     assert merged is not None
     if dbkey is not None:
         merged.dbkey = dbkey
     merged.fingerprints = np.concatenate(fps, axis=0)
+    # concatenate string tables at the blob level: materializing one bytes
+    # object per row would cost tens of GB of per-object overhead at the
+    # billion-row shard-merge scale this CLI exists for
+    merged.smiles = _concat_string_tables(smiles_tables)
+    merged.ids = _concat_string_tables(ids_tables)
     write_fsim(output, merged)
     return merged
+
+
+def _concat_string_tables(tables) -> "StringTable | list[bytes]":
+    if not all(isinstance(t, StringTable) for t in tables):
+        out: list[bytes] = []
+        for t in tables:
+            out.extend(t)
+        return out
+    blobs = [t._blob for t in tables]
+    offsets = []
+    base = 0
+    for t in tables:
+        offsets.append(t._offsets + base)
+        base += len(t._blob)
+    return StringTable(np.concatenate(blobs), np.concatenate(offsets))

@@ -198,7 +198,9 @@ def rescore(
     w = words.shape[1]
     if query.shape != (w,):
         raise ValueError(f"query must be ({w},) packed words")
-    qpop = int(np.bitwise_count(query).sum())
+    from ..ops.scan import popcount_rows_np  # numpy<2 has no bitwise_count
+
+    qpop = int(popcount_rows_np(query[None, :])[0])
     out = np.empty(len(rows), dtype=np.float32)
     lib.tsn_rescore(
         _as_void(words), w, _as_void(rows), len(rows), _as_void(query),

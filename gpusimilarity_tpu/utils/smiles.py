@@ -227,9 +227,21 @@ def parse_smiles(smiles: str) -> Molecule:
             raise SmilesError("ring closure before any atom")
         if num in ring_openings:
             start, open_order, open_dir = ring_openings.pop(num)
+            if (
+                pending_order is not None
+                and open_order is not None
+                and pending_order != open_order
+            ):
+                raise SmilesError(
+                    f"ring closure {num} bond order mismatch"
+                )
             order = pending_order if pending_order is not None else open_order
             if start == prev:
                 raise SmilesError("ring bond to self")
+            if any(
+                {b.a1, b.a2} == {start, prev} for b in mol.bonds
+            ):
+                raise SmilesError("duplicate bond via ring closure")
             _add_bond(mol, start, prev, order, pending_dir or open_dir)
         else:
             ring_openings[num] = (prev, pending_order, pending_dir)

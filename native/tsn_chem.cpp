@@ -690,8 +690,15 @@ Mol parse_smiles(const std::string& input) {
         if (it != ring_openings.end()) {
             auto [start, open_order, open_dir] = it->second;
             ring_openings.erase(it);
+            if (pending_order != -2 && open_order != -2 &&
+                pending_order != open_order)
+                throw ParseError{"ring closure bond order mismatch"};
             int order = pending_order != -2 ? pending_order : open_order;
             if (start == prev) throw ParseError{"ring bond to self"};
+            for (const auto& bnd : mol.bonds)
+                if ((bnd.a1 == start && bnd.a2 == prev) ||
+                    (bnd.a1 == prev && bnd.a2 == start))
+                    throw ParseError{"duplicate bond via ring closure"};
             add_bond(mol, start, prev, order,
                      pending_dir ? pending_dir : open_dir);
         } else {

@@ -97,7 +97,9 @@ class TestParser:
         "bad",
         ["", "C(", "C)", "C1CC", "[C", "C%4", "Xx", "1CC", "[]", "C..C",
          # bond-symbols-only, dangling bond at end / before ')' / after '('
-         "#-", "C=", "C(C=)O", "C=(C)O"],
+         "#-", "C=", "C(C=)O", "C=(C)O",
+         # conflicting ring-closure bond orders; duplicate parallel bond
+         "C-1CCCCC=1", "C12CC12"],
     )
     def test_malformed_raises(self, bad):
         with pytest.raises(SmilesError):
