@@ -30,11 +30,13 @@ def _process_line(line: bytes, trust_smiles: bool = False):
         if line.strip():
             print(f"Skipping malformed line: {line!r}", file=sys.stderr)
         return None
-    smiles, cid = parts[0].decode(), parts[1]
+    cid = parts[1]
     try:
+        smiles = parts[0].decode()  # inside the try: a stray non-UTF-8
+        # byte must skip the row, not abort an hours-long build
         fp, canon = smiles_to_fingerprint_bin(smiles, trust_smiles=trust_smiles)
-    except (FingerprintError, ValueError) as e:
-        print(f"Error processing {smiles!r}: {e}", file=sys.stderr)
+    except (FingerprintError, ValueError, UnicodeDecodeError) as e:
+        print(f"Error processing {parts[0]!r}: {e}", file=sys.stderr)
         return None
     return fp, canon, cid
 

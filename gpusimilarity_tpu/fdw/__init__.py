@@ -47,6 +47,9 @@ class TpuSimilarityFDW(ForeignDataWrapper):
         self.cutoff = float(options.get("similarity_cutoff", "0"))
         self.dbname = options.get("db_name", "all")
         self.dbkey = options.get("dbkey", "")
+        # outlive the server's 600 s first-compile window by default, but
+        # never block the Postgres backend forever on a hung server
+        self.timeout = float(options.get("timeout", "620"))
         server = options["server"]
         port = options["port"]
         self.endpoint = f"http://{server}:{port}/similarity_search_json_{self.dbname}"
@@ -63,7 +66,8 @@ class TpuSimilarityFDW(ForeignDataWrapper):
             }
         ).encode()
         with urllib.request.urlopen(
-            urllib.request.Request(self.endpoint, data=body)
+            urllib.request.Request(self.endpoint, data=body),
+            timeout=self.timeout,
         ) as resp:
             payload = json.loads(resp.read())
         return payload["results"]

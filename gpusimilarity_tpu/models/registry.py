@@ -98,7 +98,10 @@ class DatabaseRegistry:
         if device_bitcount:
             if not datas:
                 return 1
-            bitcount = datas[0][1].bitcount
+            # max across databases, like the reference's max_fp_bitcount
+            # (gpusim.cpp:127-128,145): the first file's width must not
+            # decide whether the others get folded under the cap
+            bitcount = max(d.bitcount for _, d in datas)
             requested_fold = max(1, bitcount // device_bitcount)
             if requested_fold < fold:
                 raise MemoryError(
@@ -119,6 +122,10 @@ class DatabaseRegistry:
         scan_mode: str = "dense",
         use_pallas: bool = False,
     ) -> None:
+        if name in self._dbs:
+            # two paths sharing a basename would silently shadow half the
+            # data (every query resolves names through this dict)
+            raise ValueError(f"database name {name!r} already loaded")
         self._dbs[name] = FingerprintDB(
             data, mesh=self._mesh, fold_factor=fold_factor,
             scan_mode=scan_mode, use_pallas=use_pallas,

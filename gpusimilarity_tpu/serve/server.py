@@ -117,6 +117,10 @@ class SearchService:
         dbnames = self.resolve_dbnames(form, url_db)
         dbkeys = form.get("dbkeys", "")
         dbkeys = dbkeys.split(",") if dbkeys else [""] * len(dbnames)
+        if len(dbkeys) == 1 and len(dbnames) > 1:
+            # one key against a resolved multi-DB list (e.g. the FDW's
+            # db_name 'all' with a dbkey option) broadcasts to every DB
+            dbkeys = dbkeys * len(dbnames)
         if len(dbkeys) != len(dbnames):
             raise RequestError("need one dbkey per database")
 

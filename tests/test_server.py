@@ -563,3 +563,48 @@ class TestRound2ReviewFixes:
         for qi in (0, 4444, 8999):
             r = db.search(np.array(words[qi]), k=3, return_indices=True)
             assert r.indices[0] == qi and r.scores[0] == 1.0
+
+    def test_single_dbkey_broadcasts_to_all(self, server):
+        # FDW-style: db_name 'all' resolves to N databases but the table
+        # carries ONE dbkey option — it must broadcast, not 400
+        status, payload = post(
+            server, "/similarity_search_json_all",
+            {"smiles": "CCO", "return_count": 3, "similarity_cutoff": 0,
+             "dbkeys": "sekrit"},
+        )
+        assert status == 200
+        # 'corpus' (no key) rejects the key; 'keyed' accepts it
+        assert payload["approximate_count"] == len(CORPUS)
+
+    def test_duplicate_database_name_rejected(self):
+        from gpusimilarity_tpu.models import DatabaseRegistry
+
+        registry = DatabaseRegistry()
+        registry.add("lib", corpus_data())
+        with pytest.raises(ValueError):
+            registry.add("lib", corpus_data())
+
+    def test_device_bitcount_auto_picks_dense(self):
+        from gpusimilarity_tpu.cli.server import resolve_scan_mode
+
+        assert resolve_scan_mode("auto", False, None, "tpu", 256) == (
+            "dense", True,
+        )
+
+    def test_createdb_skips_non_utf8_line(self, tmp_path):
+        import gzip
+        import subprocess
+        import sys
+
+        src = tmp_path / "in.smi.gz"
+        with gzip.open(src, "wb") as f:
+            f.write(b"CCO ok1\nCC\xe9O bad1\nCCC ok2\n")
+        out = subprocess.run(
+            [sys.executable, "-m", "gpusimilarity_tpu.cli.createdb",
+             str(src), str(tmp_path / "out.fsim")],
+            capture_output=True, text=True,
+        )
+        assert out.returncode == 0, out.stderr
+        from gpusimilarity_tpu.utils.fsim import read_fsim
+
+        assert read_fsim(tmp_path / "out.fsim").count == 2
