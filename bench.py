@@ -24,6 +24,8 @@ REFERENCE_FPS_PER_GPU = 1.25e9  # BASELINE.md derived figure
 
 
 def main():
+    import sys
+
     rows_env = int(os.environ.get("TPUSIM_BENCH_ROWS", 96 * 1024 * 1024))
     last_err = None
     for rows in (rows_env, (rows_env * 2 // 3) & ~262143, rows_env // 2):
@@ -33,9 +35,14 @@ def main():
         except Exception as e:  # leftover HBM from prior runs can linger
             if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
                 raise
+            # stderr: stdout must stay ONE JSON line (driver contract)
             print(f"# retrying with fewer rows after OOM at {rows}",
-                  flush=True)
-            last_err = e
+                  file=sys.stderr, flush=True)
+            # keep only the message: the traceback would pin _run's frame
+            # and with it the multi-GB device arrays, making every smaller
+            # retry inherit the leaked HBM
+            last_err = RuntimeError(str(e)[:2000])
+            del e
             import gc
 
             gc.collect()
@@ -69,6 +76,8 @@ def _run(n_rows):
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))
     mode = os.environ.get("TPUSIM_BENCH_MODE", "bitplane")
+    if mode not in ("dense", "bitplane"):
+        raise ValueError(f"TPUSIM_BENCH_MODE must be dense|bitplane, not {mode!r}")
     use_pallas = os.environ.get("TPUSIM_BENCH_PALLAS", "1") == "1"
     qpop = int(os.environ.get("TPUSIM_BENCH_QPOP", 50))  # typical Morgan density
     w = 32  # 1024-bit fingerprints
@@ -77,7 +86,12 @@ def _run(n_rows):
     mesh = make_mesh(devices)
     n_shards = len(devices)
     per_shard = -(-n_rows // n_shards)
-    chunk = min(1 << 20, ((per_shard + 127) // 128) * 128)
+    # bitplane sub-row layout needs 256-column alignment per shard (dense
+    # only needs 128); unaligned per-shard widths would silently truncate
+    # m8_padded below and skip tail rows
+    align = 256 if mode == "bitplane" else 128
+    chunk = min(1 << 20, ((per_shard + align - 1) // align) * align)
+    chunk = max(align, (chunk // align) * align)
     per_shard = -(-per_shard // chunk) * chunk
     n_padded = per_shard * n_shards
 
@@ -136,7 +150,9 @@ def _run(n_rows):
 
         t0 = time.monotonic()
         planes, pops = make_planes(jax.random.key(0))
-        planes.block_until_ready()
+        # sync by fetching a slice: block_until_ready can return at enqueue
+        # time under the axon relay (CLAUDE.md CAUTION)
+        jax.device_get(pops[:1])
         gen_s = time.monotonic() - t0
 
         pops3 = None
@@ -175,7 +191,7 @@ def _run(n_rows):
 
         t0 = time.monotonic()
         words, pops = make_library(jax.random.key(0))
-        words.block_until_ready()
+        jax.device_get(pops[:1])  # fetch-sync, not block_until_ready
         gen_s = time.monotonic() - t0
 
         store = build_store_from_device(
@@ -186,11 +202,10 @@ def _run(n_rows):
                 store, k=k, similarity="tanimoto", batch=b,
                 use_pallas=use_pallas,
             )
+            from gpusimilarity_tpu.ops.scan import popcount_rows_np
+
             queries = rng.integers(0, 2**32, (b, w), dtype=np.uint32)
-            qpops = np.array(
-                [bin(int(x)).count("1") for x in queries.reshape(-1)],
-                dtype=np.int64,
-            ).reshape(b, w).sum(axis=1).astype(np.int32)
+            qpops = popcount_rows_np(queries).astype(np.int32)
             return search, jnp.asarray(queries), qpops
 
     def measure(b, reps):

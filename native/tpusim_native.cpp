@@ -39,15 +39,22 @@ void parallel_for(long n, int n_threads, F&& fn) {
         for (long i = 0; i < n; ++i) fn(i);
         return;
     }
+    // hand out BLOCKS of indices per atomic acquisition: one contended
+    // fetch_add per ~128-byte row would serialize row-granular kernels
+    // (popcount/fold) at hundreds of millions of rows
+    long grain = n / (static_cast<long>(n_threads) * 64);
+    if (grain < 1) grain = 1;
+    if (grain > 8192) grain = 8192;
     std::atomic<long> next(0);
     std::vector<std::thread> threads;
     threads.reserve(n_threads);
     for (int t = 0; t < n_threads; ++t) {
         threads.emplace_back([&] {
             for (;;) {
-                long i = next.fetch_add(1);
-                if (i >= n) return;
-                fn(i);
+                long lo = next.fetch_add(grain);
+                if (lo >= n) return;
+                long hi = lo + grain < n ? lo + grain : n;
+                for (long i = lo; i < hi; ++i) fn(i);
             }
         });
     }

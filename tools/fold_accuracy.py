@@ -87,6 +87,9 @@ def main():
 
     results = {}
     t0 = time.monotonic()
+    # the oracle depends only on the query, not the fold: compute each
+    # full-library scan once instead of once per fold factor
+    oracle = {int(qi): oracle_topk(np.array(words[qi])) for qi in q_rows}
     for fold in (int(f) for f in args.folds.split(",")):
         db = FingerprintDB(data, fold_factor=fold)
         mism = 0
@@ -95,7 +98,7 @@ def main():
             query = np.array(words[qi])
             r = db.search(query, k=k, return_indices=True)
             got = set(r.indices)
-            want, s = oracle_topk(query)
+            want, s = oracle[int(qi)]
             missing = want - got
             # ties at the k-th score are interchangeable, not mismatches
             if missing:

@@ -80,8 +80,11 @@ def generate_tfsim(
     del fp_mm
     print()
 
-    # ids: "SYN" + 9 digits, 12 bytes/row, vectorized digit extraction
-    id_len = 12
+    # ids: "SYN" + 10 digits (supports >1e9 rows), vectorized extraction
+    if rows > 10**10:
+        raise ValueError("id generator supports at most 1e10 rows")
+    id_len = 13
+    n_digits = 10
     with open(tmp / "ids.blob", "wb") as f:
         chunk = 8 * 1024 * 1024
         for lo in range(0, rows, chunk):
@@ -89,8 +92,8 @@ def generate_tfsim(
             idx = np.arange(lo, hi, dtype=np.int64)
             out = np.empty((hi - lo, id_len), np.uint8)
             out[:, 0], out[:, 1], out[:, 2] = 0x53, 0x59, 0x4E  # "SYN"
-            for d in range(9):
-                out[:, 11 - d] = (idx // 10**d) % 10 + 0x30
+            for d in range(n_digits):
+                out[:, id_len - 1 - d] = (idx // 10**d) % 10 + 0x30
             f.write(out.tobytes())
     off = np.lib.format.open_memmap(
         tmp / "ids.idx.npy", mode="w+", dtype=np.int64, shape=(rows, 2)

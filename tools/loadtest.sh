@@ -17,12 +17,19 @@ write_fsim(sys.argv[1] + "/load.fsim", data)
 np.save(sys.argv[1] + "/qs.npy", packed[:64])
 print("built", flush=True)
 PY
-python -m gpusimilarity_tpu.cli.server $D/load.fsim --port 8135 --max_batch 8 --batch_window_ms 5 > $D/server.log 2>&1 &
+PORT=${LOADTEST_PORT:-8135}
+python -m gpusimilarity_tpu.cli.server $D/load.fsim --port $PORT --max_batch 8 --batch_window_ms 5 > $D/server.log 2>&1 &
 SRV=$!
-for i in $(seq 1 900); do curl -s http://localhost:8135/healthz >/dev/null 2>&1 && break; sleep 1; done
+# without the trap, any client failure under set -e leaks the server —
+# which holds the shared chip's HBM and breaks the next bench run
+trap 'kill $SRV 2>/dev/null; rm -rf "$D"' EXIT
+up=0
+for i in $(seq 1 900); do curl -s http://localhost:$PORT/healthz >/dev/null 2>&1 && up=1 && break; sleep 1; done
+if [ "$up" != 1 ]; then echo "server never came up"; tail -5 $D/server.log; exit 1; fi
 echo "server up"
-python - "$D" <<'PY'
-import sys, numpy as np, urllib.request, urllib.parse, json, time
+LOADTEST_PORT=$PORT python - "$D" <<'PY'
+import os, sys, numpy as np, urllib.request, urllib.parse, json, time
+PORT = os.environ.get("LOADTEST_PORT", "8135")
 import concurrent.futures as cf
 qs = np.load(sys.argv[1] + "/qs.npy")
 
@@ -31,7 +38,7 @@ def query(i, timeout=900):
         "return_count": 10, "similarity_cutoff": 0, "dbnames": "load"}).encode()
     t0 = time.monotonic()
     with urllib.request.urlopen(urllib.request.Request(
-            "http://localhost:8135/similarity_search_json", data=body), timeout=timeout) as r:
+            f"http://localhost:{PORT}/similarity_search_json", data=body), timeout=timeout) as r:
         p = json.loads(r.read())
     assert p["results"][0][0] == f"SYN{i % 64:08d}", p["results"][0]
     assert p["results"][0][2] == 1.0
@@ -58,5 +65,5 @@ for label in ("cold", "warm"):
           f"p50={lat[N//2]*1e3:.0f}ms p99={lat[int(N*0.99)]*1e3:.0f}ms",
           flush=True)
 PY
-curl -s http://localhost:8135/stats | python -c "import json,sys; s=json.load(sys.stdin); print('server stats: searches =', s['searches'])"
+curl -s http://localhost:$PORT/stats | python -c "import json,sys; s=json.load(sys.stdin); print('server stats: searches =', s['searches'])"
 kill $SRV
