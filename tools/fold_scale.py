@@ -145,6 +145,8 @@ def main():
         "--and_slabs", type=int, default=1,
         help="AND k random slabs: bit density 0.5^k (4 = Morgan-like 6.25%%)",
     )
+    ap.add_argument("--pallas", action="store_true",
+                    help="route dense phase 1 through the Pallas kernel")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -176,7 +178,8 @@ def main():
           f"GiB) in {load_s:.2f}s")
 
     t0 = time.monotonic()
-    db = FingerprintDB(data, fold_factor=args.fold, scan_mode=args.mode)
+    db = FingerprintDB(data, fold_factor=args.fold, scan_mode=args.mode,
+                       use_pallas=args.pallas)
     build_s = time.monotonic() - t0
     device_gib = args.rows * (128 / args.fold) / GiB
     print(f"folded x{db.fold_factor} + uploaded ~{device_gib:.1f} GiB in "
