@@ -20,6 +20,13 @@ reproduces that capability at TPU scale on ONE v5e chip:
 Usage:  python tools/fold_scale.py [--rows N] [--fold F] [--dir PATH]
         [--queries Q] [--mode dense|bitplane]
 
+Fold-8 note: use --and_slabs 4 (Morgan-like 6.25% density). 50%-dense
+random rows OR-fold by 8 into ~all-ones (P(bit)=1-0.5^8=0.996), most
+folded rows become identical, and the folded scan can no longer rank
+candidates — the exactness check fails by construction, not by bug.
+Real fingerprints fold-8 to ~40% density and rank fine (the reference's
+published fold-8 accuracy was measured on real data).
+
 Mode note: use dense mode for folded searches. Folding densifies queries
 (even Morgan-sparse rows at fold 4 select ~60 of 256 planes) and the
 bit-sliced mode's selection stage scales poorly with the fold over-fetch:
