@@ -92,30 +92,6 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def resolve_scan_mode(
-    scan_mode: str, pallas: bool, fold, backend: str,
-    device_bitcount: int | None = None,
-) -> tuple[str, bool]:
-    """Resolve ``--scan_mode auto`` to a concrete (mode, use_pallas).
-
-    On TPU the bit-sliced Pallas scan gives the best single-query latency,
-    EXCEPT for explicitly folded libraries: folding already shrinks the
-    device data and densifies queries (fold-4 Morgan selects ~60 of 256
-    planes), and measured at 402M rows dense fold-4 beats bitplane fold-4
-    by 5-12x — so an explicit fold > 1 OR a --gpu_bitcount/
-    --device_bitcount cap (which forces folding the same way) picks dense.
-    ``fold`` of None (auto) keeps the bitplane default.
-    """
-    if scan_mode != "auto":
-        return scan_mode, pallas
-    on_tpu = backend not in ("cpu",)
-    mode = "bitplane" if on_tpu else "dense"
-    use_pallas = pallas or on_tpu
-    if (fold is not None and int(fold) > 1) or device_bitcount:
-        mode = "dense"
-    return mode, use_pallas
-
-
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(
@@ -148,16 +124,15 @@ def main(argv=None):
     from ..models.registry import DatabaseRegistry
     from ..serve.server import SimilarityServer
 
-    scan_mode, use_pallas = resolve_scan_mode(
-        args.scan_mode, args.pallas, args.fold, jax.default_backend(),
-        device_bitcount=args.device_bitcount,
-    )
+    # "auto" scan mode resolves inside the registry, AFTER the global fold
+    # factor is known (an auto memory-based fold > 1 must pick dense too,
+    # not just an explicit --fold; see models/registry.resolve_scan_mode)
     registry = DatabaseRegistry.from_fsim_files(
         args.dbnames,
         device_bitcount=args.device_bitcount,
         fold_factor=args.fold,
-        scan_mode=scan_mode,
-        use_pallas=use_pallas,
+        scan_mode=args.scan_mode,
+        use_pallas=args.pallas,
     )
     if not args.no_warmup:
         registry.warmup(

@@ -30,6 +30,32 @@ log = logging.getLogger("tpusimilarity")
 ID_JOIN = ";:;"  # reference's duplicate-compound ID separator (gpusim.cpp:354)
 
 
+def resolve_scan_mode(
+    scan_mode: str, pallas: bool, effective_fold: int, backend: str
+) -> tuple[str, bool]:
+    """Resolve ``--scan_mode auto`` to a concrete (mode, use_pallas).
+
+    MUST be called with the EFFECTIVE fold factor — after the registry's
+    automatic memory-based fold decision (``_global_fold``), not just the
+    user's explicit ``--fold``/``--gpu_bitcount`` flags. On TPU the
+    bit-sliced Pallas scan gives the best single-query latency, EXCEPT for
+    folded libraries: folding densifies queries (fold-4 Morgan selects ~60
+    of 256 planes) and measured at 402M rows dense fold-4 beats bitplane
+    fold-4 by 5-12x (``tools/fold_scale.py``) — so ANY effective fold > 1,
+    whether from an explicit flag or from a bigger-than-HBM library's auto
+    fold, picks dense. The reference has no analogous decision (one scan
+    kernel); its auto-fold precedent is ``gpusim.cpp:119-143``.
+    """
+    if scan_mode != "auto":
+        return scan_mode, pallas
+    on_tpu = backend not in ("cpu",)
+    mode = "bitplane" if on_tpu else "dense"
+    use_pallas = pallas or on_tpu
+    if int(effective_fold) > 1:
+        mode = "dense"
+    return mode, use_pallas
+
+
 class DatabaseRegistry:
     """A set of named FingerprintDBs sharing one mesh and fold factor."""
 
@@ -59,6 +85,11 @@ class DatabaseRegistry:
         ``device_bitcount`` mirrors ``--gpu_bitcount``: an upper bound on the
         on-device fingerprint width. It errors if the data can't fit at that
         width's implied fold (reference ``gpusim.cpp:144-151``).
+
+        ``scan_mode`` may be ``"auto"``: it is resolved HERE, after the
+        global fold factor is known, because the right mode depends on the
+        effective fold (see :func:`resolve_scan_mode`) — a 20 GB library
+        served with default flags must end up dense, not folded-bitplane.
         """
         from ..utils.tfsim import load_any
 
@@ -81,6 +112,16 @@ class DatabaseRegistry:
         fold = fold_factor if fold_factor is not None else cls._global_fold(
             datas, device_bitcount
         )
+        if scan_mode == "auto":
+            import jax
+
+            scan_mode, use_pallas = resolve_scan_mode(
+                scan_mode, use_pallas, fold, jax.default_backend()
+            )
+            log.info(
+                "auto scan mode resolved to %s%s (effective fold %d)",
+                scan_mode, " + pallas" if use_pallas else "", fold,
+            )
         for name, data in datas:
             t0 = time.monotonic()
             reg.add(name, data, fold_factor=fold, scan_mode=scan_mode, use_pallas=use_pallas)

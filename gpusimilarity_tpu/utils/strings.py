@@ -107,3 +107,105 @@ class StringTable(Sequence):
     @property
     def nbytes(self) -> int:
         return self._blob.nbytes + self._offsets.nbytes
+
+
+class StridedStringTable(Sequence):
+    """Fixed-width records: row ``i`` is ``blob[i*itemsize:(i+1)*itemsize]``.
+
+    At 1B rows an explicit int64 (n, 2) offsets array costs 16 GB on disk
+    and in RAM; production compound IDs are typically fixed-width
+    (ZINC/Enamine serials), where the offsets are pure redundancy. This
+    table keeps only the blob. Drop-in for ``list[bytes]`` like
+    :class:`StringTable`.
+    """
+
+    __slots__ = ("_blob", "itemsize")
+
+    def __init__(self, blob: np.ndarray, itemsize: int):
+        self._blob = np.ascontiguousarray(blob, dtype=np.uint8).reshape(-1)
+        if itemsize <= 0:
+            raise ValueError(f"itemsize must be positive, got {itemsize}")
+        if self._blob.size % itemsize:
+            raise ValueError(
+                f"blob size {self._blob.size} not a multiple of itemsize "
+                f"{itemsize}"
+            )
+        self.itemsize = itemsize
+
+    @classmethod
+    def from_strings(cls, strings: Iterable[bytes]) -> "StridedStringTable":
+        strings = list(strings)
+        if not strings:
+            return cls(np.zeros(0, np.uint8), 1)
+        itemsize = len(strings[0])
+        if any(len(s) != itemsize for s in strings):
+            raise ValueError("strings are not fixed-width")
+        return cls(np.frombuffer(b"".join(strings), np.uint8), itemsize)
+
+    def __len__(self) -> int:
+        return self._blob.size // self.itemsize
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        return self._blob[i * self.itemsize : (i + 1) * self.itemsize].tobytes()
+
+    def __eq__(self, other):
+        if isinstance(other, (StridedStringTable, StringTable, list, tuple)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+    def __repr__(self):
+        return (
+            f"StridedStringTable(n={len(self)}, itemsize={self.itemsize})"
+        )
+
+    @property
+    def nbytes(self) -> int:
+        return self._blob.nbytes
+
+
+class ConstantStringTable(Sequence):
+    """Every row maps to the same byte string (synthetic benchmark
+    libraries have no per-row structures; storing N copies of "C" plus an
+    offsets array would be pure waste)."""
+
+    __slots__ = ("value", "_count")
+
+    def __init__(self, value: bytes, count: int):
+        if count < 0:
+            raise ValueError(f"negative count {count}")
+        self.value = bytes(value)
+        self._count = count
+
+    def __len__(self) -> int:
+        return self._count
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self.value] * len(range(*i.indices(self._count)))
+        if i < 0:
+            i += self._count
+        if not 0 <= i < self._count:
+            raise IndexError(i)
+        return self.value
+
+    def __eq__(self, other):
+        if isinstance(other, Sequence):
+            return len(self) == len(other) and all(
+                s == self.value for s in other
+            )
+        return NotImplemented
+
+    def __repr__(self):
+        return f"ConstantStringTable(n={self._count}, value={self.value!r})"
+
+    @property
+    def nbytes(self) -> int:
+        return len(self.value)

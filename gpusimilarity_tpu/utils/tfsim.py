@@ -11,6 +11,14 @@ TPU rebuild adds a native format designed for the load path:
     ``smiles.blob`` / ``smiles.idx.npy`` — concatenated bytes + int64 (n,2)
     ``ids.blob``    / ``ids.idx.npy``
 
+String-table layouts (``meta.json``'s optional ``strings`` map, per field):
+
+* ``{"kind": "offsets"}`` (default) — blob + explicit int64 (n, 2) index;
+* ``{"kind": "strided", "itemsize": K}`` — fixed-width records, blob only
+  (row i = blob[i*K:(i+1)*K]; no 16 GB-at-1B-rows index file);
+* ``{"kind": "constant", "value": "..."}`` — every row is the same string,
+  no files at all (synthetic benchmark libraries).
+
 Everything memory-maps: startup cost is O(metadata), fingerprints stream to
 the device directly from the page cache, and the string tables are the same
 zero-copy :class:`StringTable` the engine serves from. ``.fsim`` remains the
@@ -26,9 +34,48 @@ from pathlib import Path
 import numpy as np
 
 from .fsim import FingerprintData
-from .strings import StringTable
+from .strings import ConstantStringTable, StridedStringTable, StringTable
 
 FORMAT_VERSION = 1
+
+
+def _save_strings(dirpath: Path, field: str, strings) -> dict:
+    """Write one string field under its most compact layout; returns its
+    ``meta.json`` descriptor."""
+    if isinstance(strings, ConstantStringTable):
+        return {
+            "kind": "constant",
+            "value": strings.value.decode("utf-8"),
+        }
+    if isinstance(strings, StridedStringTable):
+        strings._blob.tofile(dirpath / f"{field}.blob")
+        return {"kind": "strided", "itemsize": strings.itemsize}
+    if isinstance(strings, StringTable):
+        blob, offsets = strings._blob, strings._offsets
+    else:
+        table = StringTable.from_strings(strings)
+        blob, offsets = table._blob, table._offsets
+    blob.tofile(dirpath / f"{field}.blob")
+    np.save(dirpath / f"{field}.idx.npy", offsets)
+    return {"kind": "offsets"}
+
+
+def _load_strings(dirpath: Path, field: str, desc: dict, count: int, mmap: bool):
+    kind = desc.get("kind", "offsets")
+    if kind == "constant":
+        return ConstantStringTable(desc["value"].encode("utf-8"), count)
+    blob_path = dirpath / f"{field}.blob"
+    blob = np.memmap(blob_path, dtype=np.uint8, mode="r") if (
+        mmap and blob_path.stat().st_size > 0
+    ) else np.fromfile(blob_path, dtype=np.uint8)
+    if kind == "strided":
+        return StridedStringTable(blob, int(desc["itemsize"]))
+    if kind != "offsets":
+        raise ValueError(f"unknown string-table kind {kind!r} for {field}")
+    offsets = np.load(
+        dirpath / f"{field}.idx.npy", mmap_mode="r" if mmap else None
+    )
+    return StringTable(blob, offsets)
 
 
 def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
@@ -39,14 +86,10 @@ def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
     tmp.mkdir(parents=True, exist_ok=False)
     try:
         np.save(tmp / "fingerprints.npy", np.ascontiguousarray(data.fingerprints))
-        for field, strings in (("smiles", data.smiles), ("ids", data.ids)):
-            if isinstance(strings, StringTable):
-                blob, offsets = strings._blob, strings._offsets
-            else:
-                table = StringTable.from_strings(strings)
-                blob, offsets = table._blob, table._offsets
-            blob.tofile(tmp / f"{field}.blob")
-            np.save(tmp / f"{field}.idx.npy", offsets)
+        strings_meta = {
+            field: _save_strings(tmp, field, strings)
+            for field, strings in (("smiles", data.smiles), ("ids", data.ids))
+        }
         (tmp / "meta.json").write_text(
             json.dumps(
                 {
@@ -55,6 +98,7 @@ def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
                     "bitcount": data.bitcount,
                     "count": data.count,
                     "generator": data.generator,
+                    "strings": strings_meta,
                 }
             )
         )
@@ -78,13 +122,13 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
         )
     mode = "r" if mmap else None
     fingerprints = np.load(path / "fingerprints.npy", mmap_mode=mode)
-    tables = {}
-    for field in ("smiles", "ids"):
-        blob = np.memmap(path / f"{field}.blob", dtype=np.uint8, mode="r") if (
-            mmap and (path / f"{field}.blob").stat().st_size > 0
-        ) else np.fromfile(path / f"{field}.blob", dtype=np.uint8)
-        offsets = np.load(path / f"{field}.idx.npy", mmap_mode=mode)
-        tables[field] = StringTable(blob, offsets)
+    strings_meta = meta.get("strings", {})
+    tables = {
+        field: _load_strings(
+            path, field, strings_meta.get(field, {}), meta["count"], mmap
+        )
+        for field in ("smiles", "ids")
+    }
     data = FingerprintData(
         dbkey=meta["dbkey"],
         bitcount=meta["bitcount"],

@@ -496,24 +496,45 @@ class TestProvenanceGuard:
 class TestRound2ReviewFixes:
     """Regressions for the round-2 serving/parallel review findings."""
 
-    def test_auto_scan_mode_fold_none_keeps_bitplane(self):
-        from gpusimilarity_tpu.cli.server import resolve_scan_mode
+    def test_auto_scan_mode_resolves_on_effective_fold(self):
+        # resolve_scan_mode takes the EFFECTIVE fold (after the registry's
+        # memory-based auto-fold) — round 2 resolved from the raw --fold
+        # flag, so a >HBM library with default flags served folded-bitplane,
+        # the builder's own documented 5-12x trap (VERDICT r2 Weak #1)
+        from gpusimilarity_tpu.models.registry import resolve_scan_mode
 
-        # fold=None (the CLI default, meaning auto) must NOT force dense:
-        # the documented TPU default is bitplane+Pallas
-        assert resolve_scan_mode("auto", False, None, "tpu") == (
-            "bitplane", True,
-        )
-        assert resolve_scan_mode("auto", False, 4, "tpu") == ("dense", True)
+        # unfolded TPU default is bitplane+Pallas
         assert resolve_scan_mode("auto", False, 1, "tpu") == (
             "bitplane", True,
         )
-        assert resolve_scan_mode("auto", False, None, "cpu") == (
+        # ANY effective fold > 1 picks dense, however the fold arose
+        assert resolve_scan_mode("auto", False, 4, "tpu") == ("dense", True)
+        assert resolve_scan_mode("auto", False, 2, "tpu") == ("dense", True)
+        assert resolve_scan_mode("auto", False, 1, "cpu") == (
             "dense", False,
         )
         assert resolve_scan_mode("bitplane", False, 4, "tpu") == (
             "bitplane", False,  # explicit mode is never overridden
         )
+
+    def test_default_flags_beyond_hbm_library_serves_dense(self, monkeypatch):
+        # integration: a library whose AUTO fold factor (memory-based, no
+        # --fold flag anywhere) comes out > 1 must load in dense mode
+        from gpusimilarity_tpu.models import registry as registry_mod
+        from gpusimilarity_tpu.utils.fsim import write_fsim
+
+        monkeypatch.setattr(registry_mod, "auto_fold_factor", lambda *a, **k: 4)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/big.fsim"
+            write_fsim(path, corpus_data())
+            reg = registry_mod.DatabaseRegistry.from_fsim_files(
+                [path], scan_mode="auto", use_pallas=False
+            )
+        db = reg.get("big")
+        assert db.fold_factor == 4
+        assert db.scan_mode == "dense"
 
     def test_return_count_upper_bound(self, server):
         from gpusimilarity_tpu.serve.server import MAX_RETURN_COUNT
@@ -585,11 +606,21 @@ class TestRound2ReviewFixes:
             registry.add("lib", corpus_data())
 
     def test_device_bitcount_auto_picks_dense(self):
-        from gpusimilarity_tpu.cli.server import resolve_scan_mode
+        # --gpu_bitcount 256 implies fold 4 through _global_fold; the
+        # registry resolves auto mode from that effective fold
+        from gpusimilarity_tpu.models import registry as registry_mod
+        from gpusimilarity_tpu.utils.fsim import write_fsim
+        import tempfile
 
-        assert resolve_scan_mode("auto", False, None, "tpu", 256) == (
-            "dense", True,
-        )
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/cap.fsim"
+            write_fsim(path, corpus_data())
+            reg = registry_mod.DatabaseRegistry.from_fsim_files(
+                [path], scan_mode="auto", device_bitcount=256
+            )
+        db = reg.get("cap")
+        assert db.fold_factor == 4
+        assert db.scan_mode == "dense"
 
     def test_createdb_skips_non_utf8_line(self, tmp_path):
         import gzip

@@ -87,7 +87,10 @@ def generate_tfsim(
     del fp_mm
     print()
 
-    # ids: "SYN" + 10 digits (supports >1e9 rows), vectorized extraction
+    # ids: "SYN" + 10 digits (supports >1e9 rows) as fixed-width STRIDED
+    # records — no offsets index (16 B/row, 12 GiB at 768M rows, would
+    # blow the disk budget of the beyond-HBM runs); smiles are CONSTANT
+    # "C" (synthetic rows have no real structures)
     if rows > 10**10:
         raise ValueError("id generator supports at most 1e10 rows")
     id_len = 13
@@ -102,28 +105,6 @@ def generate_tfsim(
             for d in range(n_digits):
                 out[:, id_len - 1 - d] = (idx // 10**d) % 10 + 0x30
             f.write(out.tobytes())
-    off = np.lib.format.open_memmap(
-        tmp / "ids.idx.npy", mode="w+", dtype=np.int64, shape=(rows, 2)
-    )
-    for lo in range(0, rows, 64 * 1024 * 1024):
-        hi = min(lo + 64 * 1024 * 1024, rows)
-        r = np.arange(lo, hi, dtype=np.int64)
-        off[lo:hi, 0] = r * id_len
-        off[lo:hi, 1] = r * id_len + id_len
-    off.flush()
-    del off
-
-    # smiles: every row maps to the same 1-byte "C" (offsets all [0, 1]) —
-    # the string table allows overlapping ranges, and synthetic rows have
-    # no real structures
-    (tmp / "smiles.blob").write_bytes(b"C")
-    soff = np.lib.format.open_memmap(
-        tmp / "smiles.idx.npy", mode="w+", dtype=np.int64, shape=(rows, 2)
-    )
-    soff[:, 0] = 0
-    soff[:, 1] = 1
-    soff.flush()
-    del soff
 
     (tmp / "meta.json").write_text(
         json.dumps(
@@ -133,6 +114,10 @@ def generate_tfsim(
                 "bitcount": bitcount,
                 "count": rows,
                 "generator": "synthetic-random",
+                "strings": {
+                    "ids": {"kind": "strided", "itemsize": id_len},
+                    "smiles": {"kind": "constant", "value": "C"},
+                },
             }
         )
     )
@@ -155,7 +140,19 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="route dense phase 1 through the Pallas kernel")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--generate_only", action="store_true",
+                    help="write the synthetic library and exit (lets the "
+                    "multi-minute generation run detached from the search)")
     args = ap.parse_args()
+
+    density = "" if args.and_slabs == 1 else f"_d{args.and_slabs}"
+    lib_dir = Path(args.dir) / f"rows{args.rows}{density}.tfsim"
+    if not lib_dir.exists():
+        print(f"generating synthetic library at {lib_dir} ...")
+        generate_tfsim(lib_dir, args.rows, and_slabs=args.and_slabs)
+    if args.generate_only:  # before any jax/TPU-tunnel touch
+        print(f"library ready at {lib_dir}")
+        return
 
     import jax
 
@@ -167,12 +164,6 @@ def main():
         str(Path(__file__).resolve().parent.parent / ".jax_cache_tpu"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    density = "" if args.and_slabs == 1 else f"_d{args.and_slabs}"
-    lib_dir = Path(args.dir) / f"rows{args.rows}{density}.tfsim"
-    if not lib_dir.exists():
-        print(f"generating synthetic library at {lib_dir} ...")
-        generate_tfsim(lib_dir, args.rows, and_slabs=args.and_slabs)
 
     from gpusimilarity_tpu.models.fingerprint_db import FingerprintDB
     from gpusimilarity_tpu.ops.scan import scores_np
