@@ -184,6 +184,62 @@ class FingerprintDB:
                     self.compile_count += 1
         return fn
 
+    def _synthetic_query(self, n_set: int) -> np.ndarray:
+        """Full-width packed query with exactly ``n_set`` bits, all within
+        the first ``device_bitcount`` positions so word-level folding
+        preserves the count — the query then lands in the plane bucket of
+        ``n_set`` exactly."""
+        rng = np.random.default_rng(n_set)
+        n_set = max(1, min(n_set, self.device_bitcount))
+        bits = np.zeros(self.bitcount, np.uint8)
+        bits[rng.choice(self.device_bitcount, n_set, replace=False)] = 1
+        return np.packbits(bits, bitorder="little").view(np.uint32)
+
+    def _warmup_queries(self) -> list[np.ndarray]:
+        """One query per plane bucket live traffic is likely to hit.
+
+        Round 2 warmed only library row 0's bucket; a live query one
+        ``PLANE_BUCKETS`` boundary denser still hit a fresh multi-minute
+        remote compile (the 503 path warmup exists to close). Sample the
+        library's folded row-popcount distribution and cover the buckets
+        of its p50 and p95 plus one bucket of headroom above.
+        """
+        if self._full_words is not None:
+            base = np.array(self._full_words[0])
+        else:
+            base = self._synthetic_query(min(48, self.device_bitcount))
+        if self.scan_mode != "bitplane":
+            return [base]  # dense programs don't key on query density
+
+        from ..ops.bitplane import PLANE_BUCKETS, plane_bucket_for
+
+        sample_n = min(self.count, 4096)
+        if self._full_words is not None:
+            stride = max(1, self.count // sample_n)
+            rows = np.asarray(self._full_words[:: stride][:sample_n])
+            pops = popcount_rows_np(fold_ops.fold_words(rows, self.fold_factor))
+        else:
+            pops = np.asarray([48])
+        w = self.device_bitcount
+        targets = {
+            plane_bucket_for(int(np.percentile(pops, 50)), w),
+            plane_bucket_for(int(np.percentile(pops, 95)), w),
+        }
+        # one bucket of headroom above the densest observed
+        top = max(targets)
+        nxt = next((p for p in PLANE_BUCKETS if p > top), None)
+        if nxt is not None and nxt <= w:
+            targets.add(nxt)
+        base_bucket = plane_bucket_for(
+            int(popcount_rows_np(
+                fold_ops.fold_words(base[None, :], self.fold_factor)
+            )[0]), w,
+        )
+        queries = [base]
+        for bucket in sorted(targets - {base_bucket}):
+            queries.append(self._synthetic_query(bucket))
+        return queries
+
     def warmup(
         self, ks: Sequence[int] = (20, 128), max_batch: int = 1
     ) -> None:
@@ -191,8 +247,9 @@ class FingerprintDB:
 
         Remote XLA compiles cost minutes in production; without this the
         first real query after startup eats the compile (the HTTP layer's
-        503-until-ready is a stopgap, not a fix). Uses a real library row
-        when available so the bitplane plane bucket matches live traffic.
+        503-until-ready is a stopgap, not a fix). Covers every plane
+        bucket in the library's observed query-density range (see
+        ``_warmup_queries``), not just row 0's.
         ``max_batch``: also compile every batch bucket up to it — the
         batching front end coalesces concurrent requests into groups, so
         single-query warmup alone would leave the first traffic burst
@@ -200,24 +257,17 @@ class FingerprintDB:
         """
         if self.count == 0:
             return
-        if self._full_words is not None:
-            query = np.array(self._full_words[0])
-        else:
-            rng = np.random.default_rng(0)
-            bits = np.zeros(self.bitcount, np.uint8)
-            nset = min(48, self.bitcount)
-            bits[rng.choice(self.bitcount, nset, replace=False)] = 1
-            query = np.packbits(bits, bitorder="little").view(np.uint32)
         batches = [1]
         for bucket in _BATCH_BUCKETS[1:]:
             if bucket <= max_batch:
                 batches.append(bucket)
-        for b in batches:
-            for k in ks:
-                self.search_batch(
-                    np.tile(query, (b, 1)), k=min(int(k), self.count),
-                    dbkey=self.dbkey,
-                )
+        for query in self._warmup_queries():
+            for b in batches:
+                for k in ks:
+                    self.search_batch(
+                        np.tile(query, (b, 1)), k=min(int(k), self.count),
+                        dbkey=self.dbkey,
+                    )
 
     def search(
         self,

@@ -61,6 +61,19 @@ def build_bitplanes_np(packed_rows: np.ndarray, n_cols: int) -> np.ndarray:
     return np.ascontiguousarray(out).view(np.uint32).reshape(bitcount, n_cols // 32)
 
 
+def plane_bucket_for(max_set: int, bitcount: int) -> int:
+    """Smallest plane bucket holding ``max_set`` set bits (cap: bitcount).
+
+    Every distinct bucket compiles its own XLA program, so warmup needs
+    this mapping to precompile the buckets live traffic will hit.
+    """
+    bucket = next(
+        (p for p in PLANE_BUCKETS if p >= max_set and p <= bitcount),
+        bitcount,
+    )
+    return min(bucket, bitcount)
+
+
 def query_plane_indices(
     query_words: np.ndarray, bitcount: int, bucket: int | None = None
 ) -> tuple[np.ndarray, int]:
@@ -73,10 +86,7 @@ def query_plane_indices(
     idx_lists = [np.nonzero(row)[0] for row in bits]
     max_set = max((len(i) for i in idx_lists), default=1)
     if bucket is None:
-        bucket = next(
-            (p for p in PLANE_BUCKETS if p >= max_set and p <= bitcount),
-            bitcount,
-        )
+        bucket = plane_bucket_for(max_set, bitcount)
     bucket = min(bucket, bitcount)
     if max_set > bucket:
         raise ValueError(f"query has {max_set} bits set > bucket {bucket}")

@@ -303,6 +303,30 @@ class TestCompileBuckets:
         db.search_batch(q, k=20, dbkey="w")
         assert db.compile_count == compiled
 
+    def test_warmup_covers_denser_plane_buckets(self, rng):
+        """A live bitplane query one PLANE_BUCKETS boundary denser than
+        library row 0 must not hit a fresh compile after warmup (round-2
+        VERDICT Weak #4: warmup derived its only bucket from row 0)."""
+        from conftest import random_fingerprint_data
+        from gpusimilarity_tpu.ops.bitplane import plane_bucket_for
+        from gpusimilarity_tpu.ops.scan import popcount_rows_np
+
+        # density 0.1 -> ~102 bits/row -> rows live in bucket 128
+        data = random_fingerprint_data(rng, count=400, density=0.1, dbkey="w")
+        db = FingerprintDB(data, scan_mode="bitplane")
+        row0_bucket = plane_bucket_for(
+            int(popcount_rows_np(data.packed_words()[:1])[0]), db.bitcount
+        )
+        db.warmup(ks=(20,))
+        compiled = db.compile_count
+        assert compiled >= 2  # row-0 bucket plus at least the headroom one
+
+        # one bucket denser than anything the library itself contains
+        dense_q = db._synthetic_query(2 * row0_bucket)
+        r = db.search(dense_q, k=20, dbkey="w")
+        assert db.compile_count == compiled  # no live compile
+        assert len(r.scores) > 0
+
     def test_concurrent_same_shape_compiles_once(self, rng):
         """Two threads racing the same (k, batch, similarity) key must not
         both run the multi-minute build (round-2 review finding)."""
