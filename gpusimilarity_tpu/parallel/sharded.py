@@ -611,18 +611,14 @@ def _bitplane_local_topk(
             f"shard sub-row width {m8s} is not divisible into chunks of "
             f"{mc8} — build the store with an aligned chunk_cols"
         )
-    chunk_cols_eff = mc8 * 256
-
     bw8 = max(1, SELECT_BLOCK_COLS // 256)  # sub-words per block
     if mc8 % bw8:
         bw8 = mc8
     block_cols = bw8 * 256
-    seg = bw8 * 32  # flat length of one sub-row segment within a block
     n_blocks = n_shard_cols // block_cols
-    blocks_per_chunk = chunk_cols_eff // block_cols
     k_blocks = min(k, n_blocks)
     small = n_blocks <= k_blocks
-    take = min(k, n_shard_cols) if small else min(k, k_blocks * block_cols)
+    take = min(k, n_shard_cols)  # small-path direct top-k width
     shifts = jnp.arange(32, dtype=jnp.uint32)
 
     # phase 1 implementation choice (all inputs static).
@@ -660,16 +656,19 @@ def _bitplane_local_topk(
         )
 
     def per_query_wordsel(args):
-        """Pallas-path selection + exact rescore at WORD granularity.
+        """Selection + exact rescore at WORD granularity (both impls).
 
         Phase 1 already produced per-word maxima (colmax); selecting top-k
         blocks, then top-k words inside them, then exactly re-scoring only
         those k words' 32 columns replaces the old whole-block stripe
         rescan + top_k over k_blocks*block_cols scores (measured ~2.8 ms of
-        the 4.1 ms per-query marginal at B=8). Exactness is the two-phase
-        argument applied twice: any word outside the top-k blocks is
-        outranked by >= k block maxima, and any column outside the top-k
-        words by >= k word maxima, so the returned score multiset is exact.
+        the 4.1 ms per-query marginal at B=8 for the Pallas path, and the
+        dominant cost of fold over-fetch on the XLA path: k_fetch 2048 at
+        fold 4 meant a top_k over 2048*2048 rescanned scores). Exactness is
+        the two-phase argument applied twice: any word outside the top-k
+        blocks is outranked by >= k block maxima, and any column outside
+        the top-k words by >= k word maxima, so the returned score multiset
+        is exact.
         """
         qidx, qpop, qcut, q_bmax, q_cnt, q_colmax = args
         _, selb = jax.lax.top_k(q_bmax, k_blocks)
@@ -701,9 +700,7 @@ def _bitplane_local_topk(
         gi = jnp.take(cols.reshape(-1), pos.astype(jnp.int32))
         return v, gi, q_cnt
 
-    def per_query(args):
-        qidx, qpop, qcut = args  # (P,), (), ()
-
+    def make_window_scores(qidx, qpop):
         def window_scores(base8, width8):
             """Scores over a (8, width8) sub-word window: f32 (8, width8*32).
 
@@ -740,96 +737,62 @@ def _bitplane_local_topk(
             )
             return jnp.where(valid, s, NEG_INF)
 
-        # phase 1: per-block maxima + cutoff count, streamed
-        def phase1_fn(ci):
-            s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
-            bmax = s.reshape(8, blocks_per_chunk, seg).max(axis=(0, 2))
-            return bmax, jnp.sum((s >= qcut).astype(jnp.int32))
+        return window_scores
 
-        if n_chunks == 1:
-            block_max, cnt_q = phase1_fn(0)
-        else:
-            bmaxs, cnts = jax.lax.map(
-                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
-            )
-            block_max = bmaxs.reshape(n_blocks)
-            cnt_q = cnts.sum()
-
-        def flat_to_local(base8_of_block, flat_pos):
-            """Flat (8, width*32) position -> shard-local column index."""
-            r = flat_pos // seg
-            rem = flat_pos % seg
-            return 32 * (r * m8s + base8_of_block) + rem
-
-        if small:  # one direct pass over everything
-            s = window_scores(0, m8s)  # (8, m8s*32)
-            v, pos = jax.lax.top_k(s.reshape(-1), take)
-            pos = pos.astype(jnp.int32)
-            r = pos // (m8s * 32)
-            rem = pos % (m8s * 32)
-            return v, 32 * (r * m8s) + rem, cnt_q
-
-        # select candidate blocks (ascending for deterministic ordering)
-        _, sel = jax.lax.top_k(block_max, k_blocks)
-        sel = jnp.sort(sel.astype(jnp.int32))
-
-        # phase 2: re-scan selected blocks. One DMA per block: slice the FULL
-        # plane stripe (every plane's 8 sub-rows over bw8 words — a few
-        # hundred KB, streamed) and gather the query's P plane windows from
-        # the small in-core stripe; per-(block, plane) slicing costs
-        # k_blocks * P tiny DMAs and measured ~6 ms extra.
-        def block_scores(bi):
-            base8 = bi * bw8
-            stripe = jax.lax.dynamic_slice(
-                planes, (0, base8), (n_plane_rows, bw8)
-            ).reshape(n_plane_rows // 8, 8, bw8)
-            rows = jnp.take(stripe, qidx, axis=0)  # (P, 8, bw8)
-            counters = wallace_popcount_planes(
-                [rows[pi] for pi in range(p)]
-            )
-            common = jnp.zeros((8, seg), dtype=jnp.int32)
-            for j, c2 in enumerate(counters):
-                bits = (c2[..., None] >> shifts) & jnp.uint32(1)
-                common = common + (bits.astype(jnp.int32).reshape(8, seg) << j)
-            col_pops, valid = [], []
-            for r in range(8):
-                start = 32 * (r * m8s + base8)
-                col_pops.append(jax.lax.dynamic_slice(pops, (start,), (seg,)))
-                lidx = start + jax.lax.broadcasted_iota(jnp.int32, (seg,), 0)
-                valid.append(shard_offset + lidx < n_valid)
-            s = similarity_from_counts(
-                common, jnp.stack(col_pops), qpop, similarity, alpha, beta
-            )
-            return jnp.where(jnp.stack(valid), s, NEG_INF)
-
-        # unroll stripes in groups so XLA overlaps their DMAs: fully serial
-        # lax.map left each ~13 us stripe fetch latency-bound
-        unroll = 8 if k_blocks % 8 == 0 else 1
-        if unroll > 1:
-            grouped = sel.reshape(k_blocks // unroll, unroll)
-            s = jax.lax.map(
-                lambda g: jnp.stack([block_scores(g[u]) for u in range(unroll)]),
-                grouped,
-            ).reshape(k_blocks, 8, seg)
-        else:
-            s = jax.lax.map(block_scores, sel)  # (k_blocks, 8, seg)
+    def per_query_small(args):
+        qidx, qpop, qcut = args  # (P,), (), ()
+        window_scores = make_window_scores(qidx, qpop)
+        s = window_scores(0, m8s)  # (8, m8s*32): one direct pass
+        cnt_q = jnp.sum((s >= qcut).astype(jnp.int32))
         v, pos = jax.lax.top_k(s.reshape(-1), take)
         pos = pos.astype(jnp.int32)
-        which = pos // (8 * seg)
-        within = pos % (8 * seg)
-        gi = flat_to_local(sel[which] * bw8, within)
-        return v, gi, cnt_q
+        r = pos // (m8s * 32)
+        rem = pos % (m8s * 32)
+        return v, 32 * (r * m8s) + rem, cnt_q
 
-    if pallas_ok:
+    def per_query_xla_phase1(args):
+        """XLA phase 1 at WORD granularity: (bmax, count, colmax).
+
+        Streams every plane window once (same CSA pipeline as before) but
+        keeps the per-word maxima instead of only per-block ones, so the
+        shared word-granularity selection replaces the old whole-block
+        stripe rescan — which was selection-bound at fold over-fetch sizes
+        (k_fetch 2048 at 402M rows measured 2.1-2.7 s vs dense's 106 ms).
+        colmax matches the Pallas kernel's layout: ``f32 (8, M8s)``.
+        """
+        qidx, qpop, qcut = args
+        window_scores = make_window_scores(qidx, qpop)
+
+        def phase1_fn(ci):
+            s = window_scores(ci * mc8, mc8)  # (8, mc8*32)
+            wmax = s.reshape(8, mc8, 32).max(axis=-1)  # (8, mc8)
+            return wmax, jnp.sum((s >= qcut).astype(jnp.int32))
+
+        if n_chunks == 1:
+            colmax, cnt_q = phase1_fn(0)
+        else:
+            wmaxs, cnts = jax.lax.map(
+                phase1_fn, jnp.arange(n_chunks, dtype=jnp.int32)
+            )
+            colmax = jnp.moveaxis(wmaxs, 0, 1).reshape(8, m8s)
+            cnt_q = cnts.sum()
+        bmax = colmax.reshape(8, n_blocks, bw8).max(axis=(0, 2))
+        return bmax, cnt_q, colmax
+
+    if small:
+        vals, idx, cnt = jax.lax.map(
+            per_query_small, (plane_idx, query_pops, cutoff)
+        )
+    else:
+        if not pallas_ok:
+            bmax_all, cnt_all, colmax_all = jax.lax.map(
+                per_query_xla_phase1, (plane_idx, query_pops, cutoff)
+            )
         # vmap, not lax.map: the word-selection stage is light (top_k over
         # block maxima + small gathers), and batching it turns B sequential
         # top_k/gather dispatches into single batched ops
         vals, idx, cnt = jax.vmap(per_query_wordsel)(
             (plane_idx, query_pops, cutoff, bmax_all, cnt_all, colmax_all)
-        )
-    else:
-        vals, idx, cnt = jax.lax.map(
-            per_query, (plane_idx, query_pops, cutoff)
         )
     vals, idx = _pad_to_k(vals, idx, k, shard_offset)
     return vals, idx, cnt

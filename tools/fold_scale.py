@@ -89,8 +89,11 @@ def generate_tfsim(
 
     # ids: "SYN" + 10 digits (supports >1e9 rows) as fixed-width STRIDED
     # records — no offsets index (16 B/row, 12 GiB at 768M rows, would
-    # blow the disk budget of the beyond-HBM runs); smiles are CONSTANT
-    # "C" (synthetic rows have no real structures)
+    # blow the disk budget of the beyond-HBM runs). Smiles HARDLINK to the
+    # same blob: distinct per row (a constant smiles makes the service
+    # layer's duplicate-SMILES dedup collapse every result into one joined
+    # row) at zero extra disk; synthetic rows have no real structures, so
+    # the id string doubles as an opaque smiles placeholder.
     if rows > 10**10:
         raise ValueError("id generator supports at most 1e10 rows")
     id_len = 13
@@ -105,6 +108,7 @@ def generate_tfsim(
             for d in range(n_digits):
                 out[:, id_len - 1 - d] = (idx // 10**d) % 10 + 0x30
             f.write(out.tobytes())
+    os.link(tmp / "ids.blob", tmp / "smiles.blob")
 
     (tmp / "meta.json").write_text(
         json.dumps(
@@ -116,7 +120,7 @@ def generate_tfsim(
                 "generator": "synthetic-random",
                 "strings": {
                     "ids": {"kind": "strided", "itemsize": id_len},
-                    "smiles": {"kind": "constant", "value": "C"},
+                    "smiles": {"kind": "strided", "itemsize": id_len},
                 },
             }
         )
