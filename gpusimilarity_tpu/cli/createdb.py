@@ -45,16 +45,19 @@ def _process_line_trusted(line: bytes):
     return _process_line(line, trust_smiles=True)
 
 
-def build_database(
+def iter_fingerprint_batches(
     inputfile: str,
-    dbkey: str = "",
     trust_smiles: bool = False,
     workers: int = 0,
-) -> FingerprintData:
+):
+    """Yield ``(fps, smiles, ids)`` byte-string lists per ~10 MB read batch.
+
+    The shared front half of both build paths: streams the ``.smi``/
+    ``.smi.gz`` input, fingerprints each row on the worker pool, drops
+    unparseable rows with a warning. Memory stays O(batch) regardless of
+    library size.
+    """
     opener = gzip.open if str(inputfile).endswith(".gz") else open
-    fps: list[bytes] = []
-    smiles: list[bytes] = []
-    ids: list[bytes] = []
     worker_fn = _process_line_trusted if trust_smiles else _process_line
 
     pool = None
@@ -65,25 +68,50 @@ def build_database(
     mapper = pool.map if pool else map
 
     t0 = time.monotonic()
-    with opener(inputfile, "rb") as fh:
-        lines = fh.readlines(READ_BATCH_BYTES)
-        while lines:
-            for row in mapper(worker_fn, lines):
-                if row is None:
-                    continue
-                fp, canon, cid = row
-                fps.append(fp)
-                smiles.append(canon)
-                ids.append(cid)
-            print(f"Processed {len(ids)} rows", file=sys.stderr)
+    total = 0
+    try:
+        with opener(inputfile, "rb") as fh:
             lines = fh.readlines(READ_BATCH_BYTES)
-    if pool:
-        pool.close()
-        pool.join()
+            while lines:
+                fps: list[bytes] = []
+                smiles: list[bytes] = []
+                ids: list[bytes] = []
+                for row in mapper(worker_fn, lines):
+                    if row is None:
+                        continue
+                    fp, canon, cid = row
+                    fps.append(fp)
+                    smiles.append(canon)
+                    ids.append(cid)
+                total += len(ids)
+                print(f"Processed {total} rows", file=sys.stderr)
+                yield fps, smiles, ids
+                lines = fh.readlines(READ_BATCH_BYTES)
+    finally:
+        if pool:
+            pool.close()
+            pool.join()
     print(
-        f"Fingerprinted {len(ids)} compounds in {time.monotonic() - t0:.1f}s",
+        f"Fingerprinted {total} compounds in {time.monotonic() - t0:.1f}s",
         file=sys.stderr,
     )
+
+
+def build_database(
+    inputfile: str,
+    dbkey: str = "",
+    trust_smiles: bool = False,
+    workers: int = 0,
+) -> FingerprintData:
+    fps: list[bytes] = []
+    smiles: list[bytes] = []
+    ids: list[bytes] = []
+    for bfps, bsmiles, bids in iter_fingerprint_batches(
+        inputfile, trust_smiles=trust_smiles, workers=workers
+    ):
+        fps.extend(bfps)
+        smiles.extend(bsmiles)
+        ids.extend(bids)
 
     if fps:
         matrix = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(
@@ -99,12 +127,45 @@ def build_database(
     )
 
 
+def build_database_streaming(
+    inputfile: str,
+    outputfile: str,
+    dbkey: str = "",
+    trust_smiles: bool = False,
+    workers: int = 0,
+) -> int:
+    """Stream straight into a ``.tfsim`` directory; returns the row count.
+
+    The ``.fsim`` path accumulates the whole library in RAM before
+    writing (the reference does the same, ``gpusim_createdb.py:56-98``);
+    at 1B rows that's >128 GB twice over. Streaming to the mmap-native
+    format writes each row once and never holds more than one read batch.
+    """
+    from ..utils.fingerprints import generator_tag
+    from ..utils.tfsim import TfsimStreamWriter
+
+    with TfsimStreamWriter(
+        outputfile, bitcount=BITCOUNT, dbkey=dbkey, generator=generator_tag()
+    ) as writer:
+        for fps, smiles, ids in iter_fingerprint_batches(
+            inputfile, trust_smiles=trust_smiles, workers=workers
+        ):
+            writer.append_batch(b"".join(fps), smiles, ids)
+        count = writer.count
+    return count
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Create a tpusimilarity binary FingerprintDB (.fsim v3)"
     )
     parser.add_argument("inputfile", help=".smi or .smi.gz: SMILES<ws>ID lines")
-    parser.add_argument("outputfile", help="output .fsim path")
+    parser.add_argument(
+        "outputfile",
+        help="output path: .fsim (reference interchange format) or .tfsim "
+        "(native mmap format, streamed — constant memory, no convertdb "
+        "second write; use for beyond-RAM builds)",
+    )
     parser.add_argument("--dbkey", default="", help="database key (default empty)")
     parser.add_argument(
         "--trustSmiles", action="store_true", default=False,
@@ -120,13 +181,23 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    data = build_database(
-        args.inputfile,
-        dbkey=args.dbkey,
-        trust_smiles=args.trustSmiles,
-        workers=1 if args.singleThreaded else args.workers,
-    )
-    write_fsim(args.outputfile, data)
+    workers = 1 if args.singleThreaded else args.workers
+    if str(args.outputfile).endswith(".tfsim"):
+        build_database_streaming(
+            args.inputfile,
+            args.outputfile,
+            dbkey=args.dbkey,
+            trust_smiles=args.trustSmiles,
+            workers=workers,
+        )
+    else:
+        data = build_database(
+            args.inputfile,
+            dbkey=args.dbkey,
+            trust_smiles=args.trustSmiles,
+            workers=workers,
+        )
+        write_fsim(args.outputfile, data)
     print(
         f"Database generation finished with key: {args.dbkey}", file=sys.stderr
     )

@@ -145,6 +145,158 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
     return data
 
 
+_NPY_HEADER_LEN = 128  # reserved fixed-size .npy header (v1, padded)
+
+
+def _write_npy_header(f, shape: tuple, dtype_str: str) -> None:
+    """Write a fixed-length numpy v1 header at the file's current start.
+
+    Reserving a constant-size header lets a streaming writer append array
+    data with the row count unknown, then seek back and stamp the final
+    shape — no rewrite of a ~100 GB file. Padding with spaces is exactly
+    what ``np.lib.format`` itself does; only the length is pinned here.
+    """
+    dict_str = (
+        "{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
+        % (dtype_str, repr(shape))
+    )
+    # magic(6) + version(2) + hlen(2) + dict + '\n' == _NPY_HEADER_LEN
+    pad = _NPY_HEADER_LEN - 10 - len(dict_str) - 1
+    if pad < 0:
+        raise ValueError(f"npy header dict too long: {dict_str!r}")
+    header = dict_str.encode("latin1") + b" " * pad + b"\n"
+    f.seek(0)
+    f.write(b"\x93NUMPY" + bytes([1, 0]) + len(header).to_bytes(2, "little"))
+    f.write(header)
+
+
+class TfsimStreamWriter:
+    """Stream rows straight into a ``.tfsim`` directory.
+
+    The round-2 pipeline could only build ``.fsim`` and convert afterwards
+    — at north-star scale that writes ~100 GB twice and needs the whole
+    library in RAM. This writer appends fingerprint rows and string
+    records batch-by-batch with O(batch) memory (offsets stream to disk
+    too), then stamps the final counts into the reserved npy headers on
+    :meth:`close`. Builds atomically under a temp name like
+    :func:`save_native`.
+    """
+
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        bitcount: int = 1024,
+        dbkey: str = "",
+        generator: str = "",
+    ):
+        self.path = Path(path)
+        if self.path.exists():
+            raise FileExistsError(f"{self.path} already exists")
+        self.bitcount = bitcount
+        self.dbkey = dbkey
+        self.generator = generator
+        self.count = 0
+        self._row_bytes = bitcount // 8
+        self._tmp = self.path.with_name(self.path.name + f".tmp.{os.getpid()}")
+        self._tmp.mkdir(parents=True, exist_ok=False)
+        self._fp = open(self._tmp / "fingerprints.npy", "wb")
+        self._fp.write(b"\0" * _NPY_HEADER_LEN)
+        self._files = {}
+        self._offsets = {}
+        self._tails = {}
+        for field in ("smiles", "ids"):
+            self._files[field] = open(self._tmp / f"{field}.blob", "wb")
+            self._offsets[field] = open(self._tmp / f"{field}.idx.npy", "wb")
+            self._offsets[field].write(b"\0" * _NPY_HEADER_LEN)
+            self._tails[field] = 0
+
+    def append_batch(
+        self,
+        fingerprints: np.ndarray | bytes,
+        smiles: "list[bytes]",
+        ids: "list[bytes]",
+    ) -> None:
+        """Append rows: packed fingerprint bytes + parallel string lists."""
+        fp = np.ascontiguousarray(
+            np.frombuffer(fingerprints, np.uint8)
+            if isinstance(fingerprints, (bytes, bytearray, memoryview))
+            else np.asarray(fingerprints, np.uint8)
+        ).reshape(-1, self._row_bytes)
+        n = fp.shape[0]
+        if len(smiles) != n or len(ids) != n:
+            raise ValueError(
+                f"batch mismatch: {n} fingerprints, {len(smiles)} smiles, "
+                f"{len(ids)} ids"
+            )
+        self._fp.write(fp.tobytes())
+        for field, strings in (("smiles", smiles), ("ids", ids)):
+            blob = self._files[field]
+            pos = self._tails[field]
+            spans = np.empty((n, 2), np.int64)
+            for i, s in enumerate(strings):
+                spans[i] = (pos, pos + len(s))
+                pos += len(s)
+            blob.write(b"".join(strings))
+            self._offsets[field].write(spans.tobytes())
+            self._tails[field] = pos
+        self.count += n
+
+    def close(self) -> None:
+        """Stamp headers, write meta, atomically rename into place."""
+        try:
+            _write_npy_header(
+                self._fp, (self.count, self._row_bytes), "|u1"
+            )
+            self._fp.close()
+            for field in ("smiles", "ids"):
+                self._files[field].close()
+                _write_npy_header(
+                    self._offsets[field], (self.count, 2), "<i8"
+                )
+                self._offsets[field].close()
+            (self._tmp / "meta.json").write_text(
+                json.dumps(
+                    {
+                        "format_version": FORMAT_VERSION,
+                        "dbkey": self.dbkey,
+                        "bitcount": self.bitcount,
+                        "count": self.count,
+                        "generator": self.generator,
+                        "strings": {
+                            "smiles": {"kind": "offsets"},
+                            "ids": {"kind": "offsets"},
+                        },
+                    }
+                )
+            )
+            if self.path.exists():
+                raise FileExistsError(f"{self.path} already exists")
+            self._tmp.rename(self.path)
+        except Exception:
+            self.abort()
+            raise
+
+    def abort(self) -> None:
+        import shutil
+
+        for f in [self._fp, *self._files.values(), *self._offsets.values()]:
+            try:
+                f.close()
+            except Exception:
+                pass
+        shutil.rmtree(self._tmp, ignore_errors=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
 def is_native(path: str | os.PathLike) -> bool:
     return Path(path).is_dir() and (Path(path) / "meta.json").exists()
 

@@ -115,3 +115,117 @@ class TestMmapFoldedRescore:
         oracle = scores_np(np.array(words), np.array(words[123])[None, :])[0]
         for rid, rs in zip(r.ids, r.scores):
             assert float(oracle[int(rid[4:])]) == rs
+
+
+class TestCompactStringTables:
+    def test_strided_and_constant_roundtrip(self, tmp_path):
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+        from gpusimilarity_tpu.utils.strings import (
+            ConstantStringTable,
+            StridedStringTable,
+        )
+
+        n = 50
+        ids = StridedStringTable.from_strings(
+            [f"ZINC{i:06d}".encode() for i in range(n)]
+        )
+        data = FingerprintData(
+            dbkey="c", bitcount=1024,
+            fingerprints=np.zeros((n, 128), np.uint8),
+            smiles=ConstantStringTable(b"C", n), ids=ids,
+        )
+        path = tmp_path / "compact.tfsim"
+        save_native(path, data)
+        # no offsets index files on disk for compact layouts
+        assert not (path / "ids.idx.npy").exists()
+        assert not (path / "smiles.blob").exists()
+        back = load_native(path)
+        assert back.ids[7] == b"ZINC000007"
+        assert back.smiles[49] == b"C"
+        assert len(back.ids) == n == len(back.smiles)
+        back.validate()
+
+    def test_strided_rejects_ragged(self):
+        from gpusimilarity_tpu.utils.strings import StridedStringTable
+
+        with pytest.raises(ValueError, match="fixed-width"):
+            StridedStringTable.from_strings([b"ab", b"abc"])
+
+
+class TestStreamWriter:
+    def test_stream_matches_save_native(self, tmp_path, rng):
+        from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+        data = random_fingerprint_data(rng, count=137, dbkey="sw")
+        ref = tmp_path / "ref.tfsim"
+        save_native(ref, data)
+
+        out = tmp_path / "stream.tfsim"
+        with TfsimStreamWriter(out, bitcount=1024, dbkey="sw") as w:
+            # deliberately uneven batches incl. an empty one
+            for lo, hi in ((0, 1), (1, 1), (1, 64), (64, 137)):
+                w.append_batch(
+                    data.fingerprints[lo:hi],
+                    list(data.smiles[lo:hi]),
+                    list(data.ids[lo:hi]),
+                )
+        a, b = load_native(ref), load_native(out)
+        assert b.count == 137 and b.dbkey == "sw"
+        np.testing.assert_array_equal(
+            np.asarray(a.fingerprints), np.asarray(b.fingerprints)
+        )
+        assert list(a.smiles) == list(b.smiles)
+        assert list(a.ids) == list(b.ids)
+
+    def test_abort_on_error_leaves_nothing(self, tmp_path):
+        from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+        out = tmp_path / "bad.tfsim"
+        with pytest.raises(ValueError):
+            with TfsimStreamWriter(out, bitcount=1024) as w:
+                w.append_batch(np.zeros((2, 128), np.uint8), [b"C"], [b"X"])
+        assert not out.exists()
+        assert not list(tmp_path.iterdir())  # temp dir cleaned up
+
+    def test_refuses_existing(self, tmp_path, rng):
+        from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+        data = random_fingerprint_data(rng, count=3)
+        out = tmp_path / "dup.tfsim"
+        save_native(out, data)
+        with pytest.raises(FileExistsError):
+            TfsimStreamWriter(out)
+
+    def test_createdb_streams_tfsim_and_serves(self, tmp_path):
+        """createdb --output foo.tfsim -> registry serve round-trip
+        (VERDICT r3 item 6: no double write through convertdb)."""
+        import gzip
+
+        from gpusimilarity_tpu.cli import createdb
+        from gpusimilarity_tpu.models.registry import DatabaseRegistry
+        from gpusimilarity_tpu.utils.fingerprints import (
+            smiles_to_fingerprint_bin,
+        )
+
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CCCC", "C1CCCCC1"]
+        smi = tmp_path / "in.smi.gz"
+        with gzip.open(smi, "wb") as f:
+            for i, s in enumerate(smiles):
+                f.write(f"{s} ID{i}\n".encode())
+            f.write(b"not_a_smiles_(((( BAD1\n")  # dropped with a warning
+
+        out = tmp_path / "db.tfsim"
+        createdb.main([str(smi), str(out), "--dbkey", "k2", "--singleThreaded"])
+        assert is_native(out)
+        data = load_native(out)
+        assert data.count == 6 and data.dbkey == "k2"
+        assert data.generator  # provenance tag survives streaming
+        assert list(data.ids) == [f"ID{i}".encode() for i in range(6)]
+
+        reg = DatabaseRegistry.from_fsim_files([str(out)])
+        fp, _ = smiles_to_fingerprint_bin("CCO")
+        r = reg.search_databases(
+            ["db"], ["k2"], np.frombuffer(fp, np.uint8).view(np.uint32),
+            k=3,
+        )
+        assert r.scores[0] == 1.0 and r.ids[0] == "ID0"
