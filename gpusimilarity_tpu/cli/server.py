@@ -134,10 +134,37 @@ def main(argv=None):
         scan_mode=args.scan_mode,
         use_pallas=args.pallas,
     )
+    # multi-host serving: every process loads (its span of) the library and
+    # runs warmup in lockstep; process 0 serves HTTP and fans each request
+    # out through the controller, the rest execute requests in a loop
+    controller = None
+    if args.coordinator and args.num_processes > 1:
+        from ..parallel.multihost import MultihostController
+
+        controller = MultihostController(registry, max_batch=args.max_batch)
     if not args.no_warmup:
         registry.warmup(
             max_batch=min(args.warmup_batch, args.max_batch)
         )
+    if controller is not None and jax.process_index() != 0:
+        for name, db in registry._dbs.items():
+            print(
+                f"worker {jax.process_index()}: {name} fed "
+                f"{db.loaded_fp_bytes} fp bytes", file=sys.stderr,
+            )
+        print(
+            f"tpusimilarity worker {jax.process_index()} ready",
+            file=sys.stderr,
+        )
+        controller.serve_worker()
+        return
+    if controller is not None:
+        registry.multihost_controller = controller
+        for name, db in registry._dbs.items():
+            print(
+                f"worker 0: {name} fed {db.loaded_fp_bytes} fp bytes",
+                file=sys.stderr,
+            )
     server = SimilarityServer(
         registry,
         hostname=args.hostname,
@@ -158,6 +185,8 @@ def main(argv=None):
         pass
     finally:
         server.close()
+        if controller is not None:
+            controller.shutdown()
 
 
 if __name__ == "__main__":

@@ -91,6 +91,10 @@ class FingerprintDB:
         self.generator = data.generator  # provenance tag ("" = unknown)
         self._smiles = data.smiles
         self._ids = data.ids
+        # captured up front: in multi-host mode the string tables may be
+        # host-sharded to this process's span, so len(self._ids) would
+        # undercount and _assemble would silently drop other hosts' rows
+        self._count = data.count
         full = data.packed_words()
         self._full_words = full if keep_full_on_host else None
         self.word_count = full.shape[1]
@@ -106,9 +110,33 @@ class FingerprintDB:
                 "'host copy' is a zero-copy view of the memory-mapped file)"
             )
 
-        device_rows = fold_ops.fold_words(full, fold_factor)
         self._mesh = mesh if mesh is not None else make_mesh()
-        if scan_mode == "bitplane":
+        import jax
+
+        self._multihost = jax.process_count() > 1
+        # fp bytes this process actually read to build the device store —
+        # multi-host tests assert no process materializes the full library
+        self.loaded_fp_bytes: int | None = None
+        if self._multihost:
+            if scan_mode == "bitplane":
+                raise NotImplementedError(
+                    "multi-host serving supports the dense scan mode only "
+                    "(auto mode resolves to dense when process_count > 1; "
+                    "beyond-HBM multi-host libraries fold, which picks "
+                    "dense anyway)"
+                )
+            # per-process feed: each host reads/folds/transposes ONLY the
+            # rows its local devices own, straight from the (typically
+            # memory-mapped) full matrix
+            self._store, self.loaded_fp_bytes = sharded.build_store_multihost(
+                full,
+                mesh=self._mesh,
+                chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+                fold_factor=fold_factor,
+            )
+            self._shard_host_strings(data)
+        elif scan_mode == "bitplane":
+            device_rows = fold_ops.fold_words(full, fold_factor)
             self._store = sharded.build_bitplane_store(
                 device_rows,
                 mesh=self._mesh,
@@ -116,6 +144,7 @@ class FingerprintDB:
                 with_pops3=use_pallas,
             )
         else:
+            device_rows = fold_ops.fold_words(full, fold_factor)
             self._store = sharded.build_store(
                 device_rows,
                 mesh=self._mesh,
@@ -132,11 +161,41 @@ class FingerprintDB:
         # similarity x plane bucket); /stats exposes the registry-wide sum
         self.compile_count = 0
 
+    def _shard_host_strings(self, data: FingerprintData) -> None:
+        """Multi-host string policy (SURVEY §5 distributed entry).
+
+        Memory-mapped tables (``.tfsim``) stay whole on every host — the
+        documented full-mmap-per-host mode: the blob lives in the shared
+        page cache and a lookup touches one page, so there is nothing to
+        shard. RAM-backed tables (``.fsim`` loads, plain lists) are sliced
+        to this process's global row span (:class:`multihost.HostStrings`);
+        result assembly then resolves non-owned rows with a cross-host
+        collective (``multihost.resolve_strings``).
+        """
+        from ..parallel import multihost
+
+        lo, hi = multihost.process_row_span(self._mesh, self._store.n_padded)
+        n = data.count
+        for attr in ("_smiles", "_ids"):
+            table = getattr(self, attr)
+            if multihost.needs_host_sharding(table):
+                local = [bytes(s) for s in table[lo : min(hi, n)]]
+                setattr(self, attr, multihost.HostStrings(local, lo, hi))
+
+    def _lookup_strings(self, table, indices) -> list[str]:
+        from ..parallel import multihost
+
+        if isinstance(table, multihost.HostStrings):
+            raw = multihost.resolve_strings(table, indices)
+        else:
+            raw = [table[int(i)] for i in indices]
+        return [s.decode("utf-8", "replace") for s in raw]
+
     # ------------------------------------------------------------------ info
 
     @property
     def count(self) -> int:
-        return len(self._ids)
+        return self._count
 
     @property
     def device_bitcount(self) -> int:
@@ -404,8 +463,8 @@ class FingerprintDB:
         vals, idx = vals[order], idx[order]
 
         result = SearchResult(
-            smiles=[self.get_smiles(i) for i in idx],
-            ids=[self.get_id(i) for i in idx],
+            smiles=self._lookup_strings(self._smiles, idx),
+            ids=self._lookup_strings(self._ids, idx),
             scores=[float(v) for v in vals],
             approximate_count=approx,
         )

@@ -31,7 +31,8 @@ ID_JOIN = ";:;"  # reference's duplicate-compound ID separator (gpusim.cpp:354)
 
 
 def resolve_scan_mode(
-    scan_mode: str, pallas: bool, effective_fold: int, backend: str
+    scan_mode: str, pallas: bool, effective_fold: int, backend: str,
+    multihost: bool = False,
 ) -> tuple[str, bool]:
     """Resolve ``--scan_mode auto`` to a concrete (mode, use_pallas).
 
@@ -51,7 +52,10 @@ def resolve_scan_mode(
     on_tpu = backend not in ("cpu",)
     mode = "bitplane" if on_tpu else "dense"
     use_pallas = pallas or on_tpu
-    if int(effective_fold) > 1:
+    if int(effective_fold) > 1 or multihost:
+        # multi-host serving builds its per-process store feed on the dense
+        # layout (parallel/sharded.build_store_multihost); bitplane's
+        # per-shard sub-row interleave has no per-process feed path
         mode = "dense"
     return mode, use_pallas
 
@@ -66,6 +70,9 @@ class DatabaseRegistry:
         self.total_search_seconds = 0.0
         # searches run concurrently from the batcher's group pool
         self._stats_lock = threading.Lock()
+        # set on process 0 in multi-host serving: fans each search out to
+        # every process (see parallel.multihost.MultihostController)
+        self.multihost_controller = None
 
     # ---------------------------------------------------------------- loading
 
@@ -116,7 +123,8 @@ class DatabaseRegistry:
             import jax
 
             scan_mode, use_pallas = resolve_scan_mode(
-                scan_mode, use_pallas, fold, jax.default_backend()
+                scan_mode, use_pallas, fold, jax.default_backend(),
+                multihost=jax.process_count() > 1,
             )
             log.info(
                 "auto scan mode resolved to %s%s (effective fold %d)",
@@ -230,27 +238,41 @@ class DatabaseRegistry:
         ``gpusim.cpp:306-374``): sort all results descending by score, drop
         duplicate SMILES joining their IDs with ``";:;"``, truncate to k, and
         sum approximate counts."""
-        t0 = time.monotonic()
-        per_db: list[SearchResult] = []
-        for name, key in zip(dbnames, dbkeys):
-            if name not in self._dbs:
-                raise KeyError(f"unknown database {name!r}")
-            per_db.append(
-                self._dbs[name].search(
-                    query, k=k, cutoff=cutoff, dbkey=key,
-                    similarity=similarity, alpha=alpha, beta=beta,
-                )
-            )
-        merged = merge_results(per_db, k)
-        elapsed = time.monotonic() - t0
-        with self._stats_lock:
-            self.search_count += 1
-            self.total_search_seconds += elapsed
-        log.info(
-            "search over %s: %d results, approx %d, %.1f ms",
-            list(dbnames), len(merged), merged.approximate_count, elapsed * 1e3,
+        [merged] = self.search_databases_batch(
+            dbnames, dbkeys, np.asarray(query)[None, :], [k], [cutoff],
+            similarity=similarity, alpha=alpha, beta=beta,
         )
         return merged
+
+    def _execute_batch(
+        self, dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
+    ) -> list:
+        """One device pass per database — the SPMD half of a search.
+
+        Runs IDENTICALLY on every process in multi-host serving (workers
+        call it from ``MultihostController.serve_worker``); anything that
+        can diverge between processes (key checks, name resolution) is
+        decided before dispatch and travels as ``key_oks`` flags.
+        """
+        import jax
+
+        per_db = []
+        for name, ok in zip(dbnames, key_oks):
+            db = self._dbs[name]
+            # a pre-checked key mismatch yields the engine's empty-result
+            # path on every process alike (no device program runs)
+            key = db.dbkey if ok else db.dbkey + "\x00mismatch"
+            # profiler annotation: shows up in TensorBoard traces captured
+            # via --jax_profiler_port (the rebuild's tracing hook; the
+            # reference only had a wall-clock log, gpusim.cpp:420-429)
+            with jax.profiler.TraceAnnotation(f"tpusim.search.{name}"):
+                per_db.append(
+                    db.search_batch(
+                        queries, k=list(ks), cutoff=list(cutoffs), dbkey=key,
+                        similarity=similarity, alpha=alpha, beta=beta,
+                    )
+                )
+        return per_db
 
     def search_databases_batch(
         self,
@@ -265,24 +287,23 @@ class DatabaseRegistry:
     ) -> list[SearchResult]:
         """Batched multi-database search: one device pass per database for the
         whole ``(B, W)`` query batch, then a per-query cross-DB merge."""
-        import jax
-
         t0 = time.monotonic()
         b = len(queries)
-        per_db: list[list[SearchResult]] = []
-        for name, key in zip(dbnames, dbkeys):
+        for name in dbnames:
             if name not in self._dbs:
                 raise KeyError(f"unknown database {name!r}")
-            # profiler annotation: shows up in TensorBoard traces captured
-            # via --jax_profiler_port (the rebuild's tracing hook; the
-            # reference only had a wall-clock log, gpusim.cpp:420-429)
-            with jax.profiler.TraceAnnotation(f"tpusim.search.{name}"):
-                per_db.append(
-                    self._dbs[name].search_batch(
-                        queries, k=list(ks), cutoff=list(cutoffs), dbkey=key,
-                        similarity=similarity, alpha=alpha, beta=beta,
-                    )
-                )
+        key_oks = [
+            key == self._dbs[name].dbkey for name, key in zip(dbnames, dbkeys)
+        ]
+        if self.multihost_controller is not None:
+            per_db = self.multihost_controller.dispatch_batch(
+                list(dbnames), key_oks, queries, list(ks), list(cutoffs),
+                similarity, alpha, beta,
+            )
+        else:
+            per_db = self._execute_batch(
+                dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
+            )
         merged = [
             merge_results([db_results[qi] for db_results in per_db], int(ks[qi]))
             for qi in range(b)

@@ -97,6 +97,59 @@ def distribute_rows(local_planar: np.ndarray, local_pops: np.ndarray, mesh,
     return words, pops
 
 
+def needs_host_sharding(table) -> bool:
+    """True if ``table`` holds its bytes in this process's RAM (plain list
+    or RAM-backed StringTable) — at multi-host scale those must be sliced
+    per host. Memory-mapped tables (``.tfsim``) and constant tables are
+    page-cache-backed and safe to keep in full on every host (the
+    documented full-mmap-per-host mode: a lookup touches one page)."""
+    from ..utils.strings import (
+        ConstantStringTable,
+        StridedStringTable,
+        StringTable,
+    )
+
+    if isinstance(table, ConstantStringTable):
+        return False
+    if isinstance(table, (StringTable, StridedStringTable)):
+        return not isinstance(table._blob, np.memmap)
+    return True  # plain list[bytes]
+
+
+def resolve_strings(table: "HostStrings", indices, max_len: int = 512):
+    """Cross-host string lookup: a COLLECTIVE over all processes.
+
+    Every process contributes the strings it owns (padded to ``max_len``
+    bytes) and a ``process_allgather`` distributes them; rows nobody owns
+    (padding indices) resolve to ``b""``. All processes must call this in
+    the same order with the same index count — search results are
+    replicated by the SPMD program, so lockstep callers see identical
+    arguments by construction.
+    """
+    from jax.experimental import multihost_utils
+
+    k = len(indices)
+    buf = np.zeros((k, max_len), np.uint8)
+    lens = np.full(k, -1, np.int32)
+    for j, gi in enumerate(indices):
+        s = table.get(int(gi))
+        if s is not None:
+            s = s[:max_len]
+            buf[j, : len(s)] = np.frombuffer(s, np.uint8)
+            lens[j] = len(s)
+    all_lens = multihost_utils.process_allgather(lens)  # (P, k)
+    all_buf = multihost_utils.process_allgather(buf)  # (P, k, max_len)
+    out = []
+    for j in range(k):
+        owners = np.nonzero(all_lens[:, j] >= 0)[0]
+        if owners.size == 0:
+            out.append(b"")
+            continue
+        p = int(owners[0])
+        out.append(all_buf[p, j, : int(all_lens[p, j])].tobytes())
+    return out
+
+
 class HostStrings:
     """String table for this host's global row span only.
 
@@ -124,3 +177,127 @@ class HostStrings:
         if not self.owns(global_index):
             return None
         return self._strings[global_index - self.lo]
+
+    def __getitem__(self, global_index: int):
+        s = self.get(int(global_index))
+        if s is None:
+            raise IndexError(
+                f"row {global_index} is owned by another host (span "
+                f"[{self.lo}, {self.lo + len(self._strings)})); use "
+                "resolve_strings for cross-host lookups"
+            )
+        return s
+
+
+_OP_SHUTDOWN = 0
+_OP_SEARCH = 1
+_SIM_CODES = {"tanimoto": 0, "tversky": 1}
+_SIM_NAMES = {v: k for k, v in _SIM_CODES.items()}
+
+
+class MultihostController:
+    """Fan search requests from process 0 out to every process.
+
+    In multi-host JAX every process must execute the same device program
+    in the same order — an HTTP request arriving at process 0 alone cannot
+    just run the SPMD search. Process 0 broadcasts each request's
+    parameters (``broadcast_one_to_all``: fixed-shape arrays, so one
+    compiled broadcast program serves every request) and then all
+    processes run the identical engine call; worker processes loop in
+    :meth:`serve_worker`, discarding results (only process 0 holds the
+    HTTP connection; result arrays are replicated anyway). A lock
+    serializes dispatch — the batching front end may race groups, but the
+    broadcast order must match the workers' execution order.
+
+    The reference has no analog (strictly single-node, SURVEY §2a.7);
+    this is the DCN half of the mesh design in SURVEY §5.
+    """
+
+    def __init__(self, registry, max_batch: int = 64, max_dbs: int = 8):
+        import threading
+
+        self.registry = registry
+        self.max_batch = max_batch
+        self.max_dbs = max_dbs
+        self._lock = threading.Lock()
+        self._names = registry.names()
+        widths = {registry.get(n).word_count for n in self._names}
+        if len(widths) > 1:
+            raise ValueError(
+                f"multi-host serving needs one fingerprint width, got {widths}"
+            )
+        self.word_count = widths.pop() if widths else 32
+
+    def _template(self):
+        return {
+            "meta": np.zeros(3, np.int32),  # op, b, sim_code
+            "db_idx": np.full(self.max_dbs, -1, np.int32),
+            "key_ok": np.zeros(self.max_dbs, np.int32),
+            "queries": np.zeros((self.max_batch, self.word_count), np.uint32),
+            "ks": np.zeros(self.max_batch, np.int32),
+            "cutoffs": np.zeros(self.max_batch, np.float32),
+            "ab": np.ones(2, np.float32),
+        }
+
+    @staticmethod
+    def _broadcast(payload):
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.broadcast_one_to_all(payload)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # ------------------------------------------------------------- process 0
+
+    def dispatch_batch(
+        self, dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
+    ):
+        """Broadcast one search and run it locally; returns per-db results."""
+        b = len(queries)
+        if b > self.max_batch:
+            raise ValueError(f"batch {b} exceeds multi-host max {self.max_batch}")
+        if len(dbnames) > self.max_dbs:
+            raise ValueError(f"{len(dbnames)} databases exceed max {self.max_dbs}")
+        req = self._template()
+        req["meta"][:] = (_OP_SEARCH, b, _SIM_CODES[similarity])
+        for i, name in enumerate(dbnames):
+            req["db_idx"][i] = self._names.index(name)
+            req["key_ok"][i] = int(key_oks[i])
+        req["queries"][:b] = queries
+        req["ks"][:b] = ks
+        req["cutoffs"][:b] = cutoffs
+        req["ab"][:] = (alpha, beta)
+        with self._lock:
+            self._broadcast(req)
+            return self.registry._execute_batch(
+                dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
+            )
+
+    def shutdown(self):
+        req = self._template()
+        req["meta"][0] = _OP_SHUTDOWN
+        with self._lock:
+            self._broadcast(req)
+
+    # ------------------------------------------------------------- workers
+
+    def serve_worker(self):
+        """Worker-process loop: execute broadcast requests until shutdown."""
+        while True:
+            req = self._broadcast(self._template())
+            op, b, sim_code = (int(x) for x in req["meta"])
+            if op == _OP_SHUTDOWN:
+                return
+            dbnames = [
+                self._names[int(i)] for i in req["db_idx"] if int(i) >= 0
+            ]
+            key_oks = [bool(k) for k in req["key_ok"][: len(dbnames)]]
+            self.registry._execute_batch(
+                dbnames,
+                key_oks,
+                req["queries"][:b],
+                [int(k) for k in req["ks"][:b]],
+                [float(c) for c in req["cutoffs"][:b]],
+                _SIM_NAMES[sim_code],
+                float(req["ab"][0]),
+                float(req["ab"][1]),
+            )

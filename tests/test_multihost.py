@@ -1,11 +1,20 @@
-"""Multi-host scaffolding: 2-process CPU smoke test over a Gloo mesh.
+"""Multi-host serving: 2-process CPU tests over a Gloo mesh.
 
 Each subprocess joins a 2-process JAX runtime (4 fake CPU devices per
-process => an 8-device global mesh), feeds only its local rows via
-``multihost.distribute_rows``, runs the full SPMD sharded search, and
-checks the merged top-k against the numpy oracle plus its host-sharded
-string-table span. Real DCN runs need real hardware; this pins the
-process wiring, the local-feed path, and the global-mesh correctness.
+process => an 8-device global mesh). Three layers are pinned here:
+
+* raw sharded-store smoke test (round 1): ``multihost.distribute_rows``
+  feeds local rows, the SPMD search matches the numpy oracle;
+* engine level (round 3): ``FingerprintDB`` itself builds its store from
+  this process's span only, RAM string tables are host-sharded and
+  resolved with the cross-host collective during result assembly;
+* full stack (round 3): two ``cli.server`` processes with
+  ``--coordinator``, an HTTP query to process 0 fans out through the
+  ``MultihostController`` and returns correct merged ids/smiles, with
+  neither process having read more than its span of the ``.tfsim`` map.
+
+Real DCN runs need real hardware; these pin the process wiring and the
+engine/server integration.
 """
 
 import socket
@@ -76,6 +85,73 @@ print(f"proc {pid} OK", flush=True)
 """
 
 
+ENGINE_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4 " \
+    "--xla_cpu_enable_fast_math=false"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from gpusimilarity_tpu.parallel import multihost
+multihost.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+from gpusimilarity_tpu.models.fingerprint_db import FingerprintDB
+from gpusimilarity_tpu.ops.scan import scores_np
+from gpusimilarity_tpu.utils.fsim import FingerprintData
+
+rng = np.random.default_rng(77)  # same seed: both processes build the data
+n = 4096
+bits = rng.random((n, 1024), dtype=np.float32) < 0.1
+packed = np.packbits(bits, axis=1, bitorder="little")
+smiles = [f"SMI{i:05d}".encode() for i in range(n)]  # plain RAM lists ->
+ids = [f"ID{i:05d}".encode() for i in range(n)]      # HostStrings sharding
+data = FingerprintData(dbkey="mh", bitcount=1024, fingerprints=packed,
+                       smiles=smiles, ids=ids)
+
+db = FingerprintDB(data, chunk_cols=512)
+# the engine fed only this process's span, not the whole library
+assert db.loaded_fp_bytes is not None
+assert db.loaded_fp_bytes <= packed.nbytes // 2 + 512 * 128, db.loaded_fp_bytes
+
+# string tables were host-sharded (RAM lists, not mmap)
+assert isinstance(db._smiles, multihost.HostStrings)
+assert isinstance(db._ids, multihost.HostStrings)
+
+# query rows living on BOTH hosts' spans: assembly crosses spans via the
+# resolve_strings collective; both processes run searches in lockstep
+words = data.packed_words()
+for qi in (7, 3000):
+    r = db.search(words[qi], k=5, dbkey="mh")
+    s = scores_np(words, words[qi][None, :])[0]
+    order = np.lexsort((np.arange(n), -s))[:5]
+    assert r.scores == [float(v) for v in s[order]], (qi, r.scores)
+    assert r.ids == [f"ID{i:05d}" for i in order], (qi, r.ids)
+    assert r.smiles == [f"SMI{i:05d}" for i in order]
+print(f"engine proc {pid} OK", flush=True)
+"""
+
+
+SERVER_DB_BUILDER = r"""
+import numpy as np, sys
+from gpusimilarity_tpu.utils.fsim import FingerprintData
+from gpusimilarity_tpu.utils.tfsim import save_native
+rng = np.random.default_rng(99)
+n = 4096
+bits = rng.random((n, 1024), dtype=np.float32) < 0.1
+packed = np.packbits(bits, axis=1, bitorder="little")
+data = FingerprintData(
+    dbkey="mh", bitcount=1024, fingerprints=packed,
+    smiles=[f"SMI{i:05d}".encode() for i in range(n)],
+    ids=[f"ID{i:05d}".encode() for i in range(n)],
+)
+save_native(sys.argv[1], data)
+np.save(sys.argv[2], packed)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -116,3 +192,149 @@ def test_two_process_global_mesh_search(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid} OK" in out
+
+
+def _clean_env():
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    return env
+
+
+def test_two_process_engine_with_host_sharded_strings(tmp_path):
+    """FingerprintDB itself (not raw sharded calls) in a 2-process mesh:
+    per-span store feed + HostStrings + cross-host string resolve."""
+    script = tmp_path / "engine_worker.py"
+    script.write_text(ENGINE_WORKER)
+    port = _free_port()
+    env = _clean_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"engine proc {pid} OK" in out
+
+
+def test_two_process_server_stack(tmp_path):
+    """The full serving stack on a 2-process mesh: two ``cli.server``
+    processes with --coordinator, one HTTP query to process 0, correct
+    merged ids/smiles back, and neither process fed more than its span of
+    the .tfsim map (VERDICT r3 item 2)."""
+    import json
+    import time
+    import urllib.request
+
+    env = _clean_env()
+    db_path = tmp_path / "mh.tfsim"
+    packed_path = tmp_path / "packed.npy"
+    builder = tmp_path / "build_db.py"
+    builder.write_text(SERVER_DB_BUILDER)
+    subprocess.run(
+        [sys.executable, str(builder), str(db_path), str(packed_path)],
+        check=True, env={**env, "JAX_PLATFORMS": "cpu"},
+    )
+    packed = np.load(packed_path)
+    n = packed.shape[0]
+
+    coord_port = _free_port()
+    http_port = _free_port()
+    worker_env = dict(
+        env,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4 "
+        "--xla_cpu_enable_fast_math=false",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "gpusimilarity_tpu.cli.server",
+                str(db_path), "--cpu_only", "--port", str(http_port),
+                "--coordinator", f"localhost:{coord_port}",
+                "--num_processes", "2", "--process_id", str(pid),
+                "--no_warmup", "--jax_cache_dir", "",
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=worker_env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        deadline = time.monotonic() + 240
+        result = None
+        qi = 3000
+        q_hex = packed[qi].tobytes().hex()
+        body = (
+            f"fp_hex={q_hex}&return_count=5&similarity_cutoff=0"
+            f"&dbnames=mh&dbkeys=mh"
+        ).encode()
+        while time.monotonic() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(2)
+            try:
+                with urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://localhost:{http_port}/similarity_search_json",
+                        data=body,
+                    ),
+                    timeout=30,
+                ) as resp:
+                    result = json.loads(resp.read())
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                continue
+        assert result is not None, "server never answered"
+    finally:
+        outs = []
+        for p in procs:
+            p.terminate()
+            try:
+                out, _ = p.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+
+    # correctness: self-match at rank 0 with the right id/smiles
+    from gpusimilarity_tpu.ops.scan import scores_np
+
+    s = scores_np(packed.view(np.uint32).reshape(n, 32),
+                  packed[qi].view(np.uint32)[None, :])[0]
+    order = np.lexsort((np.arange(n), -s))[:5]
+    assert result["results"][0][0] == f"ID{qi:05d}"
+    assert result["results"][0][1] == f"SMI{qi:05d}"
+    assert result["results"][0][2] == 1.0
+    got_ids = [r[0] for r in result["results"]]
+    assert got_ids == [f"ID{i:05d}" for i in order], (got_ids, outs[0][-2000:])
+    assert result["approximate_count"] == n  # cutoff 0 counts every row
+
+    # no process fed more than its half-span of fingerprint bytes
+    full_bytes = packed.nbytes
+    for pid, out in enumerate(outs):
+        import re
+
+        m = re.search(r"fed (\d+) fp bytes", out)
+        assert m, f"proc {pid} missing feed log:\n{out[-3000:]}"
+        assert int(m.group(1)) <= full_bytes // 2 + 512 * 128, (
+            pid, m.group(1), full_bytes,
+        )
