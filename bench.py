@@ -232,6 +232,20 @@ def _run(n_rows):
             ts.append(time.monotonic() - t0)
         return statistics.median(ts), min(ts), compile_s
 
+    # same-run dispatch floor: the axon relay's fixed round-trip varies
+    # 23-29 ms day to day (measured), which is MOST of a B=1 latency —
+    # recording it beside the result separates kernel changes from relay
+    # weather when comparing rounds
+    trivial = jax.jit(lambda x: x + 1)
+    tiny = jnp.zeros(8, jnp.float32)
+    jax.device_get(trivial(tiny))
+    floor_ts = []
+    for _ in range(max(5, repeats)):
+        t0 = time.monotonic()
+        jax.device_get(trivial(tiny))
+        floor_ts.append(time.monotonic() - t0)
+    floor_ms = statistics.median(floor_ts) * 1e3
+
     p50, tmin, compile_s = measure(batch, repeats)
     times = [tmin]  # for the extras below
     fps_per_chip = n_rows * batch / p50 / n_shards
@@ -260,6 +274,8 @@ def _run(n_rows):
                 "chips": n_shards,
                 "mode": mode + ("+pallas" if use_pallas else ""),
                 "min_latency_ms": round(min(times) * 1e3, 3),
+                "dispatch_floor_ms": round(floor_ms, 3),
+                "onchip_est_ms": round(p50 * 1e3 - floor_ms, 3),
                 "compile_plus_first_run_s": round(compile_s, 2),
                 "library_gen_s": round(gen_s, 2),
                 "platform": devices[0].platform,

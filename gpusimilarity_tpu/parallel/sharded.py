@@ -607,17 +607,21 @@ def _bitplane_kernel_mc8(p: int) -> int:
     """Chunk width (in sub-words) for the Pallas bitplane kernel at plane
     bucket ``p``.
 
-    The kernel's double-buffered plane scratch is ``2 * p * 8 * mc8 * 4``
-    bytes of VMEM; scale ``mc8`` down with the query plane bucket so the
-    scratch stays within an 8 MiB budget of the ~16 MiB per-core VMEM
-    (bucket >= 256 at the old fixed mc8=1024 failed Mosaic compilation at
-    serve time). Returns 0 when even mc8=128 would not fit (p > 1024):
-    callers fall back to the XLA bitplane path.
+    The kernel's VMEM footprint is the double-buffered plane scratch
+    (``2 * p * 8 * mc8 * 4`` bytes) plus the pipelined pops3 window
+    (``32 * 8 * mc8 * 4``); scale ``mc8`` down with the query plane
+    bucket so both stay within ~12 MiB of the ~16 MiB per-core VMEM
+    (bucket >= 256 at a fixed mc8=1024 failed Mosaic compilation at
+    serve time). The cap is 2048: measured at 96M rows B=32, mc8=2048
+    runs the kernel 14% faster than 1024 (64 KiB stripe DMAs + half the
+    grid steps), while 2048 at p=128 or 4096 at any p would blow VMEM.
+    Returns 0 when even mc8=128 would not fit (p > 1024): callers fall
+    back to the XLA bitplane path.
     """
     raw = (8 << 20) // (2 * 8 * 4 * max(p, 1))
     if raw < 128:
         return 0
-    return min(1024, 1 << (raw.bit_length() - 1))
+    return min(2048, 1 << (raw.bit_length() - 1))
 
 
 def _bitplane_local_topk(
@@ -686,6 +690,10 @@ def _bitplane_local_topk(
     # 2 * P * 8 * kernel_mc8 * 4 bytes; _bitplane_kernel_mc8 scales the chunk
     # width down with the query plane bucket (P > 1024 falls back to XLA).
     kernel_mc8 = _bitplane_kernel_mc8(p)
+    # the shard's sub-row width must divide into kernel chunks; stores are
+    # aligned to 1024 sub-words, so a 2048 pick may need halving
+    while kernel_mc8 > 128 and m8s % kernel_mc8:
+        kernel_mc8 //= 2
     pallas_ok = (
         use_pallas
         and pops3 is not None

@@ -153,12 +153,16 @@ class TestBitplaneTwoPhase:
 
 class TestKernelMc8:
     def test_vmem_scaling(self):
-        # scratch 2*p*8*mc8*4 bytes must stay <= 8 MiB for every bucket
+        # scratch 2*p*8*mc8*4 plus the pops3 window 32*8*mc8*4 must stay
+        # within ~12 MiB of VMEM for every bucket (cap 2048: measured 14%
+        # faster than 1024 at 96M rows B=32)
         for p, expect in [
-            (16, 1024), (64, 1024), (128, 1024), (256, 512),
+            (16, 2048), (64, 2048), (128, 1024), (256, 512),
             (512, 256), (1024, 128), (2048, 0),
         ]:
             mc8 = sharded._bitplane_kernel_mc8(p)
             assert mc8 == expect, (p, mc8)
             if mc8:
-                assert 2 * p * 8 * mc8 * 4 <= 8 << 20
+                scratch = 2 * p * 8 * mc8 * 4
+                pops3_win = 32 * 8 * mc8 * 4
+                assert scratch + pops3_win <= 12 << 20
