@@ -34,7 +34,7 @@ NEG_INF = float("-inf")  # plain float: a jnp scalar would be captured as a
 def _phase1_kernel(
     off_ref,  # SMEM (1,): this shard's global column offset
     db_ref,  # VMEM (W, C) uint32 — one chunk of packed word-planes
-    pops_ref,  # VMEM (C,) int32
+    pops_ref,  # VMEM (C,) int16 (or int32; popcounts <= bitcount)
     q_ref,  # VMEM (B, W) uint32
     qpops_ref,  # VMEM (B,) int32
     cutoff_ref,  # VMEM (B,) f32
@@ -68,7 +68,8 @@ def _phase1_kernel(
         ).astype(jnp.int32)
 
     cf = common.astype(jnp.float32)
-    dpops = pops_ref[:][None, :].astype(jnp.float32)
+    # int32 hop: Mosaic's sub-word int16->f32 cast support varies
+    dpops = pops_ref[:][None, :].astype(jnp.int32).astype(jnp.float32)
     qpops = qpops_ref[:][:, None].astype(jnp.float32)
     if similarity == TANIMOTO:
         denom = qpops + dpops - cf
@@ -97,7 +98,7 @@ def _phase1_kernel(
 )
 def pallas_phase1(
     db,  # uint32 (W, Ns) planar packed words
-    pops,  # int32 (Ns,)
+    pops,  # int16/int32 (Ns,)
     queries,  # uint32 (B, W)
     query_pops,  # int32 (B,)
     cutoffs,  # f32 (B,)

@@ -76,7 +76,10 @@ class ShardedStore:
     mesh: jax.sharding.Mesh
     axis: str
     words: jax.Array  # uint32[W, n_padded], sharded P(None, axis)
-    popcounts: jax.Array  # int32[n_padded], sharded P(axis)
+    # int16: a 1024-bit fingerprint's popcount is <= 1024, and at 768M rows
+    # an int32 array costs 3 GB of HBM — the difference between a fold-8
+    # beyond-HBM library fitting on one chip or not
+    popcounts: jax.Array  # int16[n_padded], sharded P(axis)
     n_valid: int  # real row count; padded tail columns are masked out
     chunk_cols: int  # per-shard lax.map chunk width (divides shard width)
 
@@ -137,7 +140,7 @@ def build_store(
     except ImportError:
         planar = np.zeros((w, n_padded), dtype=np.uint32)
         planar[:, :n] = packed_rows.T
-    pops = np.zeros(n_padded, dtype=np.int32)
+    pops = np.zeros(n_padded, dtype=np.int16)
     pops[:n] = popcount_rows_np(packed_rows)
 
     words_sharding = NamedSharding(mesh, P(None, axis))
@@ -186,7 +189,7 @@ def build_store_multihost(
 
     wf = w // fold_factor
     planar = np.zeros((wf, n_local), dtype=np.uint32)
-    pops = np.zeros(n_local, dtype=np.int32)
+    pops = np.zeros(n_local, dtype=np.int16)
     bytes_read = 0
     slab = 1 << 21  # 2M rows x 128 B = 256 MB of source pages per slab
     for s in range(0, n_local_valid, slab):
