@@ -183,20 +183,21 @@ class FingerprintDB:
 
         fp = self._full_words
         row_bytes = fp.shape[1] * 4
+        total = None
         try:
-            page_b = os.sysconf("SC_PAGE_SIZE")
-            avail = os.sysconf("SC_AVPHYS_PAGES") * page_b
-            # buffers/cache count as reclaimable but not "available phys";
-            # use MemAvailable which includes them
             with open("/proc/meminfo") as f:
                 for line in f:
-                    if line.startswith("MemAvailable"):
-                        avail = int(line.split()[1]) * 1024
+                    if line.startswith("MemTotal"):
+                        total = int(line.split()[1]) * 1024
                         break
-        except (ValueError, OSError, AttributeError):
+        except (ValueError, OSError):
             return
         nbytes = fp.shape[0] * row_bytes
-        if nbytes > avail * 0.9:
+        # gate on TOTAL ram, not MemAvailable: at this point the fold's
+        # transient buffers (~2x folded size) are still allocated and make
+        # MemAvailable lie about the serve-time picture, where the map is
+        # the only big resident
+        if total is None or nbytes > total * 0.85:
             return  # cannot stay resident; a warm pass would just thrash
         t0 = time.monotonic()
         rows_per_page = max(1, 4096 // row_bytes)

@@ -97,7 +97,9 @@ def main():
         rng = np.random.default_rng(123)
         q_rows = rng.choice(n, size=args.queries, replace=False)
 
-        def query(qi, timeout=1500):
+        def query(qi, timeout=3600):  # a cold fold-8 768M program can
+            # compile for >30 min on the remote compiler; killing the
+            # server mid-compile also loses the persistent-cache entry
             body = (
                 f"fp_hex={np.array(full[qi]).tobytes().hex()}"
                 f"&return_count={args.k}&similarity_cutoff=0"
