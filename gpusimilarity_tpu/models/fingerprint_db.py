@@ -193,12 +193,17 @@ class FingerprintDB:
         except (ValueError, OSError):
             return
         nbytes = fp.shape[0] * row_bytes
+        for table in (self._smiles, self._ids):
+            blob = getattr(table, "_blob", None)
+            if isinstance(blob, np.memmap):
+                nbytes += blob.size
         # gate on TOTAL ram, not MemAvailable: at this point the fold's
         # transient buffers (~2x folded size) are still allocated and make
-        # MemAvailable lie about the serve-time picture, where the map is
-        # the only big resident
+        # MemAvailable lie about the serve-time picture, where the maps are
+        # the only big residents
         if total is None or nbytes > total * 0.85:
             return  # cannot stay resident; a warm pass would just thrash
+        nbytes = fp.shape[0] * row_bytes
         t0 = time.monotonic()
         rows_per_page = max(1, 4096 // row_bytes)
         step = max(1, (64 << 20) // row_bytes)  # 64 MB of rows per slab
@@ -207,6 +212,17 @@ class FingerprintDB:
             # one element per page, in sequential order: the kernel's
             # readahead turns this into near-sequential streaming
             fp[lo:hi:rows_per_page, 0].max()
+        # string blobs too: every result row faults an id + smiles page,
+        # and at 768M rows the blobs are ~10 GiB — hundreds of cold faults
+        # per query until healed
+        for table in (self._smiles, self._ids):
+            blob = getattr(table, "_blob", None)
+            if isinstance(blob, np.memmap) and blob.size:
+                flat = blob.reshape(-1)
+                for lo in range(0, flat.size, 64 << 20):
+                    hi = min(lo + (64 << 20), flat.size)
+                    flat[lo:hi:4096].max()
+                nbytes += flat.size
         import logging
 
         logging.getLogger("tpusimilarity").info(
