@@ -192,18 +192,27 @@ class FingerprintDB:
                         break
         except (ValueError, OSError):
             return
-        nbytes = fp.shape[0] * row_bytes
+        from ..utils.strings import mmap_backing
+
+        # distinct string blobs (smiles/ids may hardlink to ONE file —
+        # synthetic scale libraries do — so dedupe by inode, not by path)
+        blobs = {}
         for table in (self._smiles, self._ids):
-            blob = getattr(table, "_blob", None)
-            if isinstance(blob, np.memmap):
-                nbytes += blob.size
+            mm = mmap_backing(getattr(table, "_blob", None))
+            if mm is None or not mm.size:
+                continue
+            try:
+                st = os.stat(mm.filename)
+                blobs[(st.st_dev, st.st_ino)] = mm
+            except (OSError, TypeError):
+                blobs[id(mm)] = mm
+        nbytes = fp.shape[0] * row_bytes + sum(m.size for m in blobs.values())
         # gate on TOTAL ram, not MemAvailable: at this point the fold's
         # transient buffers (~2x folded size) are still allocated and make
         # MemAvailable lie about the serve-time picture, where the maps are
         # the only big residents
         if total is None or nbytes > total * 0.85:
             return  # cannot stay resident; a warm pass would just thrash
-        nbytes = fp.shape[0] * row_bytes
         t0 = time.monotonic()
         rows_per_page = max(1, 4096 // row_bytes)
         step = max(1, (64 << 20) // row_bytes)  # 64 MB of rows per slab
@@ -214,15 +223,12 @@ class FingerprintDB:
             fp[lo:hi:rows_per_page, 0].max()
         # string blobs too: every result row faults an id + smiles page,
         # and at 768M rows the blobs are ~10 GiB — hundreds of cold faults
-        # per query until healed
-        for table in (self._smiles, self._ids):
-            blob = getattr(table, "_blob", None)
-            if isinstance(blob, np.memmap) and blob.size:
-                flat = blob.reshape(-1)
-                for lo in range(0, flat.size, 64 << 20):
-                    hi = min(lo + (64 << 20), flat.size)
-                    flat[lo:hi:4096].max()
-                nbytes += flat.size
+        # per query until healed (measured ~0.9 s/query of fault time)
+        for mm in blobs.values():
+            flat = mm.reshape(-1).view(np.uint8)
+            for lo in range(0, flat.size, 64 << 20):
+                hi = min(lo + (64 << 20), flat.size)
+                flat[lo:hi:4096].max()
         import logging
 
         logging.getLogger("tpusimilarity").info(

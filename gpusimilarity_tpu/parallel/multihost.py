@@ -107,12 +107,16 @@ def needs_host_sharding(table) -> bool:
         ConstantStringTable,
         StridedStringTable,
         StringTable,
+        mmap_backing,
     )
 
     if isinstance(table, ConstantStringTable):
         return False
     if isinstance(table, (StringTable, StridedStringTable)):
-        return not isinstance(table._blob, np.memmap)
+        # NB: table construction views the blob (ascontiguousarray /
+        # reshape), which downcasts np.memmap to ndarray — walk the base
+        # chain, or every .tfsim table would be misclassified as RAM
+        return mmap_backing(table._blob) is None
     return True  # plain list[bytes]
 
 

@@ -261,3 +261,21 @@ class TestPrewarm:
             FingerprintDB(data, fold_factor=2)  # RAM-backed: nothing to warm
             FingerprintDB(data)  # unfolded: no rescore path
         assert not any("prewarmed" in r.message for r in caplog.records)
+
+    def test_tfsim_tables_classified_as_mmap_backed(self, tmp_path, rng):
+        """Table construction views the blob, downcasting np.memmap to
+        ndarray — the base-chain walk must still classify .tfsim tables
+        as mmap-backed (they drove both the multihost string policy and
+        the blob prewarm to the wrong branch)."""
+        from gpusimilarity_tpu.parallel.multihost import needs_host_sharding
+        from gpusimilarity_tpu.utils.strings import mmap_backing
+
+        data = random_fingerprint_data(rng, count=64, dbkey="m")
+        path = tmp_path / "m.tfsim"
+        save_native(path, data)
+        loaded = load_native(path)
+        assert mmap_backing(loaded.ids._blob) is not None
+        assert needs_host_sharding(loaded.ids) is False
+        assert needs_host_sharding(loaded.smiles) is False
+        # RAM-backed tables still classify as needing sharding
+        assert needs_host_sharding(data.ids) is True
