@@ -492,8 +492,7 @@ def _local_scan_topk(
             cnt = cnts.sum(axis=0)
 
     # ---- select candidate blocks (ascending order => index tie-breaks) ----
-    _, sel = jax.lax.top_k(block_max, k_blocks)  # (B, k_blocks)
-    sel = jnp.sort(sel.astype(jnp.int32), axis=-1)
+    sel = _select_candidate_blocks(block_max, k_blocks, n_blocks)
 
     # ---- phase 2: re-score selected blocks, exact top-k -------------------
     # Candidate blocks are pulled with dynamic_slice from the ORIGINAL planar
@@ -518,7 +517,20 @@ def _local_scan_topk(
             gidx = base + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
             return jnp.where(shard_offset + gidx < n_valid, s, NEG_INF)
 
-        scores = jax.lax.map(block_scores, qsel)  # (k_blocks, block)
+        # unroll block fetches in groups so XLA overlaps their DMAs: a
+        # fully serial lax.map leaves each small contiguous slice
+        # latency-bound (same lesson as the bitplane stripe rescan)
+        unroll = 8 if k_blocks % 8 == 0 else 1
+        if unroll > 1:
+            grouped = qsel.reshape(k_blocks // unroll, unroll)
+            scores = jax.lax.map(
+                lambda g: jnp.stack(
+                    [block_scores(g[u]) for u in range(unroll)]
+                ),
+                grouped,
+            ).reshape(k_blocks, block)
+        else:
+            scores = jax.lax.map(block_scores, qsel)  # (k_blocks, block)
         v, p = jax.lax.top_k(scores.reshape(-1), take)
         p = p.astype(jnp.int32)
         gi = qsel[p // block] * block + p % block
@@ -527,6 +539,45 @@ def _local_scan_topk(
     vals, idx = jax.lax.map(phase2_fn, (queries, query_pops, sel))
     vals, idx = _pad_to_k(vals, idx, k, shard_offset)
     return vals, idx, cnt
+
+
+def _select_candidate_blocks(block_max, k_blocks: int, n_blocks: int):
+    """Top-``k_blocks`` block indices per query, sorted ascending.
+
+    Large fold over-fetches make this selection itself expensive: at 768M
+    rows k_fetch=4096 it is a top_k over 3M block maxima. Two-level
+    selection (max-reduce to superblocks, top-k superblocks, exact top-k
+    blocks within them) returns the same top-k_blocks MULTISET of maxima
+    by the two-phase argument: any true top block's superblock max is >=
+    that block's max, so a cut excluding it implies k_blocks better
+    blocks. Caveat: at EXACT block-maximum ties on the cut boundary the
+    selected indices (not the candidate score multiset, which stays
+    exact) can differ from direct top_k's lowest-index choice — so the
+    two-level path only engages at production over-fetch sizes
+    (k_blocks >= 512), keeping the small-k lowest-index guarantee.
+    The superblock width balances the two top_k sizes (~sqrt of the
+    blocks-per-candidate ratio).
+    """
+    b = block_max.shape[0]
+    sb = 1
+    if k_blocks >= 512 and n_blocks >= 8 * k_blocks:
+        sb = 1 << max(1, (n_blocks // k_blocks).bit_length() // 2)
+        while sb > 1 and n_blocks % sb:
+            sb //= 2
+    if sb > 1:
+        n_sb = n_blocks // sb
+        sb_max = block_max.reshape(b, n_sb, sb).max(axis=-1)
+        _, ssel = jax.lax.top_k(sb_max, k_blocks)  # (B, k_blocks) superblocks
+        cand_idx = (
+            ssel.astype(jnp.int32)[..., None] * sb
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sb), 2)
+        ).reshape(b, k_blocks * sb)
+        cand = jnp.take_along_axis(block_max, cand_idx, axis=-1)
+        _, pos = jax.lax.top_k(cand, k_blocks)
+        sel = jnp.take_along_axis(cand_idx, pos.astype(jnp.int32), axis=-1)
+    else:
+        _, sel = jax.lax.top_k(block_max, k_blocks)  # (B, k_blocks)
+    return jnp.sort(sel.astype(jnp.int32), axis=-1)
 
 
 def _pad_to_k(vals, idx, k, shard_offset):

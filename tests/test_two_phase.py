@@ -166,3 +166,45 @@ class TestKernelMc8:
                 scratch = 2 * p * 8 * mc8 * 4
                 pops3_win = 32 * 8 * mc8 * 4
                 assert scratch + pops3_win <= 12 << 20
+
+
+class TestHierarchicalBlockSelection:
+    """The two-level candidate-block selection used at production fold
+    over-fetch sizes must return the exact top-k_blocks MULTISET of block
+    maxima (ties may resolve to different, equally valid indices)."""
+
+    def _check(self, bmax, k_blocks):
+        import jax.numpy as jnp
+
+        n_blocks = bmax.shape[1]
+        sel = np.asarray(
+            sharded._select_candidate_blocks(jnp.asarray(bmax), k_blocks, n_blocks)
+        )
+        for b in range(bmax.shape[0]):
+            got = np.sort(bmax[b][sel[b]])[::-1]
+            want = np.sort(bmax[b])[::-1][:k_blocks]
+            np.testing.assert_array_equal(got, want)
+            assert len(set(sel[b].tolist())) == k_blocks  # no duplicates
+            assert (np.diff(sel[b]) > 0).all()  # sorted ascending
+
+    def test_two_level_matches_direct_multiset(self):
+        rng = np.random.default_rng(5)
+        bmax = rng.random((3, 8192), dtype=np.float32)
+        self._check(bmax, 512)  # k_blocks >= 512 and 8192 >= 8*512 -> 2-level
+
+    def test_ties_still_exact_multiset(self):
+        rng = np.random.default_rng(6)
+        # coarse quantization => many exact ties incl. at the cut boundary
+        bmax = np.round(rng.random((2, 16384), dtype=np.float32) * 20) / 20
+        self._check(bmax, 1024)
+
+    def test_small_k_uses_direct_lowest_index_topk(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        bmax = rng.random((1, 4096), dtype=np.float32)
+        bmax[0, 100] = bmax[0, 3000] = 2.0  # tie: both must appear
+        sel = np.asarray(
+            sharded._select_candidate_blocks(jnp.asarray(bmax), 8, 4096)
+        )
+        assert 100 in sel[0] and 3000 in sel[0]
