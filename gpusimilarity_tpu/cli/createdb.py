@@ -179,7 +179,27 @@ def main(argv=None):
         "--workers", type=int, default=0,
         help="fingerprinting processes (0 = all cores)",
     )
+    parser.add_argument(
+        "--force", action="store_true", default=False,
+        help="overwrite an existing output database",
+    )
     args = parser.parse_args(argv)
+
+    # refuse to clobber an existing database up front — identically for
+    # both formats, and BEFORE the (potentially hours-long) fingerprinting
+    # pass rather than at first write
+    if os.path.exists(args.outputfile):
+        if not args.force:
+            parser.error(
+                f"output {args.outputfile!r} already exists "
+                "(pass --force to overwrite)"
+            )
+        if os.path.isdir(args.outputfile):
+            import shutil
+
+            shutil.rmtree(args.outputfile)
+        else:
+            os.unlink(args.outputfile)
 
     workers = 1 if args.singleThreaded else args.workers
     if str(args.outputfile).endswith(".tfsim"):

@@ -151,7 +151,13 @@ class FingerprintDB:
                 mesh=self._mesh,
                 chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
             )
-        if fold_factor > 1 and isinstance(data.fingerprints, np.memmap):
+        from ..utils.strings import mmap_backing
+
+        # gate on the base-chain walk, not isinstance: load paths hand the
+        # engine VIEWS of the mapped file (slices, dtype views), which
+        # downcast np.memmap to ndarray — a bare isinstance would silently
+        # skip the prewarm and reintroduce 2-3 s/query cold-fault rescans
+        if fold_factor > 1 and mmap_backing(data.fingerprints) is not None:
             # folded + memory-mapped: the exact rescore will fault this
             # file's pages at serve time — heal the cache the upload
             # pass just partially evicted (see _prewarm_rescore_pages)

@@ -120,28 +120,32 @@ def needs_host_sharding(table) -> bool:
     return True  # plain list[bytes]
 
 
-def resolve_strings(table: "HostStrings", indices, max_len: int = 512):
+def resolve_strings(table: "HostStrings", indices):
     """Cross-host string lookup: a COLLECTIVE over all processes.
 
-    Every process contributes the strings it owns (padded to ``max_len``
-    bytes) and a ``process_allgather`` distributes them; rows nobody owns
-    (padding indices) resolve to ``b""``. All processes must call this in
-    the same order with the same index count — search results are
-    replicated by the SPMD program, so lockstep callers see identical
-    arguments by construction.
+    Every process contributes the strings it owns and a
+    ``process_allgather`` distributes them; rows nobody owns (padding
+    indices) resolve to ``b""``. Lengths gather first, so the byte buffer
+    is sized to the batch's true maximum — no truncation at any SMILES/ID
+    length, and every process derives the same buffer shape from the
+    replicated length table. All processes must call this in the same
+    order with the same index count — search results are replicated by
+    the SPMD program, so lockstep callers see identical arguments by
+    construction.
     """
     from jax.experimental import multihost_utils
 
     k = len(indices)
-    buf = np.zeros((k, max_len), np.uint8)
-    lens = np.full(k, -1, np.int32)
-    for j, gi in enumerate(indices):
-        s = table.get(int(gi))
-        if s is not None:
-            s = s[:max_len]
-            buf[j, : len(s)] = np.frombuffer(s, np.uint8)
-            lens[j] = len(s)
+    local = [table.get(int(gi)) for gi in indices]
+    lens = np.array(
+        [-1 if s is None else len(s) for s in local], np.int32
+    )
     all_lens = multihost_utils.process_allgather(lens)  # (P, k)
+    max_len = max(1, int(all_lens.max(initial=0)))
+    buf = np.zeros((k, max_len), np.uint8)
+    for j, s in enumerate(local):
+        if s:
+            buf[j, : len(s)] = np.frombuffer(s, np.uint8)
     all_buf = multihost_utils.process_allgather(buf)  # (P, k, max_len)
     out = []
     for j in range(k):
@@ -217,14 +221,19 @@ class MultihostController:
     this is the DCN half of the mesh design in SURVEY §5.
     """
 
-    def __init__(self, registry, max_batch: int = 64, max_dbs: int = 8):
+    def __init__(self, registry, max_batch: int = 64, max_dbs: int | None = None):
         import threading
 
         self.registry = registry
         self.max_batch = max_batch
-        self.max_dbs = max_dbs
         self._lock = threading.Lock()
+        self._closed = False
         self._names = registry.names()
+        # default the broadcast template's db slots to however many
+        # databases the registry actually serves — a query can never name
+        # more, so no configuration knob is needed (every process builds
+        # the controller from an identical registry, so shapes agree)
+        self.max_dbs = max_dbs if max_dbs is not None else max(1, len(self._names))
         widths = {registry.get(n).word_count for n in self._names}
         if len(widths) > 1:
             raise ValueError(
@@ -271,6 +280,12 @@ class MultihostController:
         req["cutoffs"][:b] = cutoffs
         req["ab"][:] = (alpha, beta)
         with self._lock:
+            if self._closed:
+                # a batcher group that was already in flight when the
+                # server shut down must fail fast, not broadcast into a
+                # collective no worker will ever join (which would hang
+                # this thread forever and pin the process open)
+                raise RuntimeError("multi-host controller is shut down")
             self._broadcast(req)
             return self.registry._execute_batch(
                 dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
@@ -280,12 +295,25 @@ class MultihostController:
         req = self._template()
         req["meta"][0] = _OP_SHUTDOWN
         with self._lock:
+            if self._closed:
+                return
+            self._closed = True
             self._broadcast(req)
 
     # ------------------------------------------------------------- workers
 
     def serve_worker(self):
-        """Worker-process loop: execute broadcast requests until shutdown."""
+        """Worker-process loop: execute broadcast requests until shutdown.
+
+        A failing request (novel-shape compile error, device OOM) must not
+        kill the loop: process 0 surfaces the same exception to its HTTP
+        client and stays up, so the worker logs it and rejoins the next
+        broadcast — otherwise one bad request would leave process 0
+        broadcasting to nobody and every later search hanging.
+        """
+        import logging
+
+        log = logging.getLogger("tpusimilarity.multihost")
         while True:
             req = self._broadcast(self._template())
             op, b, sim_code = (int(x) for x in req["meta"])
@@ -295,13 +323,19 @@ class MultihostController:
                 self._names[int(i)] for i in req["db_idx"] if int(i) >= 0
             ]
             key_oks = [bool(k) for k in req["key_ok"][: len(dbnames)]]
-            self.registry._execute_batch(
-                dbnames,
-                key_oks,
-                req["queries"][:b],
-                [int(k) for k in req["ks"][:b]],
-                [float(c) for c in req["cutoffs"][:b]],
-                _SIM_NAMES[sim_code],
-                float(req["ab"][0]),
-                float(req["ab"][1]),
-            )
+            try:
+                self.registry._execute_batch(
+                    dbnames,
+                    key_oks,
+                    req["queries"][:b],
+                    [int(k) for k in req["ks"][:b]],
+                    [float(c) for c in req["cutoffs"][:b]],
+                    _SIM_NAMES[sim_code],
+                    float(req["ab"][0]),
+                    float(req["ab"][1]),
+                )
+            except Exception:
+                log.exception(
+                    "multi-host worker: request failed (batch=%d dbs=%s); "
+                    "continuing to serve", b, dbnames,
+                )

@@ -108,6 +108,10 @@ bits = rng.random((n, 1024), dtype=np.float32) < 0.1
 packed = np.packbits(bits, axis=1, bitorder="little")
 smiles = [f"SMI{i:05d}".encode() for i in range(n)]  # plain RAM lists ->
 ids = [f"ID{i:05d}".encode() for i in range(n)]      # HostStrings sharding
+# real libraries hold SMILES beyond any fixed buffer guess; row 3000 (on
+# process 1's span) must round-trip through the cross-host resolve
+# collective unclipped
+smiles[3000] = b"C" * 700
 data = FingerprintData(dbkey="mh", bitcount=1024, fingerprints=packed,
                        smiles=smiles, ids=ids)
 
@@ -129,7 +133,8 @@ for qi in (7, 3000):
     order = np.lexsort((np.arange(n), -s))[:5]
     assert r.scores == [float(v) for v in s[order]], (qi, r.scores)
     assert r.ids == [f"ID{i:05d}" for i in order], (qi, r.ids)
-    assert r.smiles == [f"SMI{i:05d}" for i in order]
+    assert r.smiles == [smiles[i].decode() for i in order]
+assert any(len(x) == 700 for x in db.search(words[3000], k=1, dbkey="mh").smiles)
 print(f"engine proc {pid} OK", flush=True)
 """
 
@@ -338,3 +343,83 @@ def test_two_process_server_stack(tmp_path):
         assert int(m.group(1)) <= full_bytes // 2 + 512 * 128, (
             pid, m.group(1), full_bytes,
         )
+
+
+# ------------------------------------------------- controller unit tests
+# (single-process: broadcast_one_to_all degenerates to identity, which is
+# enough to pin the lifecycle/shape logic without a 2-process mesh)
+
+
+class _FakeDB:
+    word_count = 32
+
+
+class _FakeRegistry:
+    def __init__(self, names):
+        self._names = list(names)
+
+    def names(self):
+        return list(self._names)
+
+    def get(self, name):
+        return _FakeDB()
+
+    def _execute_batch(self, *a, **k):
+        return []
+
+
+def test_controller_max_dbs_defaults_to_registry_count():
+    """The broadcast template sizes its db slots from the registry — a
+    12-database registry must accept a 12-database query with no knob."""
+    from gpusimilarity_tpu.parallel.multihost import MultihostController
+
+    c = MultihostController(_FakeRegistry([f"db{i}" for i in range(12)]))
+    assert c.max_dbs == 12
+    assert c._template()["db_idx"].shape == (12,)
+    assert MultihostController(_FakeRegistry([]), max_dbs=3).max_dbs == 3
+
+
+def test_controller_dispatch_after_shutdown_fails_fast():
+    """A batcher group still in flight when the server shuts down must get
+    an immediate error, not hang forever in a collective with no peers."""
+    import numpy as np
+    import pytest
+
+    from gpusimilarity_tpu.parallel.multihost import MultihostController
+
+    c = MultihostController(_FakeRegistry(["db0"]))
+    c.shutdown()
+    c.shutdown()  # idempotent: no second broadcast, no error
+    with pytest.raises(RuntimeError, match="shut down"):
+        c.dispatch_batch(
+            ["db0"], [True], np.zeros((1, 32), np.uint32), [5], [0.0],
+            "tanimoto", 1.0, 1.0,
+        )
+
+
+def test_serve_worker_survives_failing_request():
+    """One failing request must not kill the worker loop (process 0 stays
+    up after the same failure; a dead worker would wedge every later
+    broadcast)."""
+    from gpusimilarity_tpu.parallel import multihost as mh
+
+    class _BoomRegistry(_FakeRegistry):
+        def __init__(self, names):
+            super().__init__(names)
+            self.calls = 0
+
+        def _execute_batch(self, *a, **k):
+            self.calls += 1
+            raise RuntimeError("boom")
+
+    reg = _BoomRegistry(["db0"])
+    c = mh.MultihostController(reg)
+    search = c._template()
+    search["meta"][:] = (mh._OP_SEARCH, 1, 0)
+    search["db_idx"][0] = 0
+    search["key_ok"][0] = 1
+    stop = c._template()  # zero meta == shutdown
+    seq = iter([search, stop])
+    c._broadcast = lambda payload: next(seq)  # shadow the collective
+    c.serve_worker()  # returns via the shutdown op, exception logged
+    assert reg.calls == 1

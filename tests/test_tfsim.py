@@ -279,3 +279,48 @@ class TestPrewarm:
         assert needs_host_sharding(loaded.smiles) is False
         # RAM-backed tables still classify as needing sharding
         assert needs_host_sharding(data.ids) is True
+
+    def test_prewarm_fires_through_view_downcast(self, tmp_path, rng, caplog):
+        """Load paths can hand the engine a VIEW of the mapped file (slice,
+        dtype view, np.asarray), which downcasts np.memmap to plain ndarray
+        — the prewarm gate walks the base chain, so the folded-library page
+        re-touch still fires (a bare isinstance silently skipped it)."""
+        import dataclasses
+        import logging
+
+        from gpusimilarity_tpu.models import FingerprintDB
+
+        data = random_fingerprint_data(rng, count=2048, dbkey="pwv")
+        path = tmp_path / "pwv.tfsim"
+        save_native(path, data)
+        loaded = load_native(path)
+        viewed = np.asarray(loaded.fingerprints)
+        assert not isinstance(viewed, np.memmap)  # the downcast under test
+        data2 = dataclasses.replace(loaded, fingerprints=viewed)
+        with caplog.at_level(logging.INFO, logger="tpusimilarity"):
+            db = FingerprintDB(data2, fold_factor=2)
+        assert any("prewarmed" in r.message for r in caplog.records)
+        r = db.search(data.packed_words()[5], k=3, dbkey="pwv")
+        assert r.scores[0] == 1.0
+
+
+class TestCreatedbOverwrite:
+    """`createdb` must treat an existing output identically for both
+    formats: refuse up front (before the long fingerprinting pass) unless
+    --force, for .fsim and .tfsim alike."""
+
+    @pytest.mark.parametrize("ext", [".fsim", ".tfsim"])
+    def test_refuses_then_forces(self, tmp_path, ext):
+        from gpusimilarity_tpu.cli import createdb
+
+        smi = tmp_path / "in.smi"
+        smi.write_text("CCO ethanol\nCCN ethylamine\n")
+        out = tmp_path / ("db" + ext)
+        argv = [str(smi), str(out), "--dbkey", "k", "--singleThreaded"]
+        createdb.main(argv)
+        assert out.exists()
+        with pytest.raises(SystemExit):
+            createdb.main(argv)  # second run without --force refuses
+        createdb.main(argv + ["--force"])  # explicit overwrite succeeds
+        loaded = load_any(out)
+        assert loaded.count == 2
