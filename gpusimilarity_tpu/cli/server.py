@@ -43,6 +43,12 @@ def parse_args(argv=None):
     parser.add_argument("--batch_window_ms", default=2.0, type=float,
                         help="batching window in milliseconds")
     parser.add_argument(
+        "--search_timeout_s", default=1500.0, type=float,
+        help="per-request result deadline; must outlive the worst live "
+        "XLA compile a cold shape can hit (measured 12-23 min for the "
+        "largest programs on a remote chip)",
+    )
+    parser.add_argument(
         "--scan_mode", default="auto",
         choices=("auto", "dense", "bitplane"),
         help="dense packed-word scan, bit-sliced sparse-query scan, or auto "
@@ -173,6 +179,7 @@ def main(argv=None):
         max_batch=args.max_batch,
         window_ms=args.batch_window_ms,
         socket_name=args.socket_name or None,
+        search_timeout_s=args.search_timeout_s,
     )
     print(
         f"tpusimilarity ready on {args.hostname}:{server.port} "

@@ -47,9 +47,13 @@ class TpuSimilarityFDW(ForeignDataWrapper):
         self.cutoff = float(options.get("similarity_cutoff", "0"))
         self.dbname = options.get("db_name", "all")
         self.dbkey = options.get("dbkey", "")
-        # outlive the server's 600 s first-compile window by default, but
-        # never block the Postgres backend forever on a hung server
-        self.timeout = float(options.get("timeout", "620"))
+        # outlive the server's 1500 s worst-case live-compile window by
+        # default (warmed shapes answer in milliseconds; k-bucket
+        # promotion keeps warmed servers off the compile path entirely),
+        # but never block the Postgres backend forever on a hung server —
+        # set a smaller per-table timeout when cold compiles are
+        # impossible in your deployment
+        self.timeout = float(options.get("timeout", "1520"))
         server = options["server"]
         port = options["port"]
         self.endpoint = f"http://{server}:{port}/similarity_search_json_{self.dbname}"

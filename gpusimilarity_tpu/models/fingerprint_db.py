@@ -163,6 +163,11 @@ class FingerprintDB:
             # pass just partially evicted (see _prewarm_rescore_pages)
             self._prewarm_rescore_pages()
         self._search_fns: dict = {}
+        self._warming = False
+        # k-bucket promotion support: keys whose exact program is being
+        # compiled off the request path (single-process only)
+        self._bg_keys: set = set()
+        self._bg_pool = None
         # the batching front end dispatches request groups on a thread
         # pool: per-key locks stop two threads from racing the same
         # multi-minute XLA compile, while different shapes still compile
@@ -324,6 +329,84 @@ class FingerprintDB:
                     self.compile_count += 1
         return fn
 
+    def _get_search_fn_serving(
+        self, k_fetch: int, batch: int, similarity: str, plane_bucket: int = 0
+    ):
+        """Serve-path program lookup with **k-bucket promotion**.
+
+        A request whose exact ``k_fetch`` bucket is uncompiled would
+        otherwise stall behind a live XLA compile (minutes on a remote
+        TPU — the 503 window warmup exists to close, recurring on the k
+        axis). If a LARGER fetch bucket with the same batch/similarity/
+        plane key is already compiled, serve with that instead: fetching
+        more candidates only widens the exact selection, ``_assemble``
+        trims to the caller's ``k``, and the cutoff count is independent
+        of ``k_fetch`` — so results are identical. Returns ``(fn,
+        missing_key)``; ``missing_key`` is the exact key to compile in the
+        background (None when the exact program ran). Warmup bypasses
+        promotion so its ``ks`` actually compile.
+        """
+        key = (k_fetch, batch, similarity, plane_bucket)
+        if self._warming or key in self._search_fns:
+            return self._get_search_fn(*key), None
+        larger = [
+            kf
+            for (kf, b2, s2, pb2) in list(self._search_fns)
+            if b2 == batch and s2 == similarity and pb2 == plane_bucket
+            and kf > k_fetch
+        ]
+        if not larger:
+            return self._get_search_fn(*key), None
+        return self._search_fns[(min(larger), batch, similarity, plane_bucket)], key
+
+    def _compile_in_background(self, key, args) -> None:
+        """Compile+execute the exact k-bucket program off the request path.
+
+        Single-process only: in multi-host serving every device program
+        must execute in broadcast lockstep, so a stray background
+        execution would desync the peers — there, promotion simply keeps
+        serving with the larger warmed bucket (deterministic on every
+        process, since the compiled-program sets advance in lockstep).
+        ``args`` are the live request's device arrays — by construction
+        the exact-bucket program takes identical input shapes (only the
+        internal fetch width and output shapes differ).
+        """
+        import jax
+
+        if jax.process_count() > 1:
+            return
+        with self._fn_locks_guard:
+            if key in self._bg_keys:
+                return
+            self._bg_keys.add(key)
+            if self._bg_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._bg_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="tpusim-bgcompile"
+                )
+
+        def task():
+            import logging
+
+            try:
+                fn = self._get_search_fn(*key)
+                jax.device_get(fn(*args))  # first execution triggers compile
+            except Exception:
+                logging.getLogger("tpusimilarity").exception(
+                    "background compile for %s failed; requests keep "
+                    "serving via the promoted bucket", key,
+                )
+
+        self._bg_pool.submit(task)
+
+    def drain_background_compiles(self) -> None:
+        """Block until queued background compiles finish (tests/tools)."""
+        with self._fn_locks_guard:
+            pool = self._bg_pool
+        if pool is not None:
+            pool.submit(lambda: None).result()
+
     def _synthetic_query(self, n_set: int) -> np.ndarray:
         """Full-width packed query with exactly ``n_set`` bits, all within
         the first ``device_bitcount`` positions so word-level folding
@@ -389,7 +472,13 @@ class FingerprintDB:
         first real query after startup eats the compile (the HTTP layer's
         503-until-ready is a stopgap, not a fix). Covers every plane
         bucket in the library's observed query-density range (see
-        ``_warmup_queries``), not just row 0's.
+        ``_warmup_queries``), not just row 0's. The ``ks`` need not
+        enumerate every k-fetch bucket: serving **promotes** a request
+        whose exact bucket is uncompiled to the next-larger warmed bucket
+        (identical results, see ``_get_search_fn_serving``) while the
+        exact program compiles in the background — so warming the largest
+        expected ``k`` (default 128) makes every smaller k compile-free.
+        Only a k beyond the warmed maximum still pays a live compile.
         ``max_batch``: also compile every batch bucket up to it — the
         batching front end coalesces concurrent requests into groups, so
         single-query warmup alone would leave the first traffic burst
@@ -401,13 +490,17 @@ class FingerprintDB:
         for bucket in _BATCH_BUCKETS[1:]:
             if bucket <= max_batch:
                 batches.append(bucket)
-        for query in self._warmup_queries():
-            for b in batches:
-                for k in ks:
-                    self.search_batch(
-                        np.tile(query, (b, 1)), k=min(int(k), self.count),
-                        dbkey=self.dbkey,
-                    )
+        self._warming = True  # compile the exact buckets, never promote
+        try:
+            for query in self._warmup_queries():
+                for b in batches:
+                    for k in ks:
+                        self.search_batch(
+                            np.tile(query, (b, 1)), k=min(int(k), self.count),
+                            dbkey=self.dbkey,
+                        )
+        finally:
+            self._warming = False
 
     def search(
         self,
@@ -481,18 +574,27 @@ class FingerprintDB:
             plane_idx, plane_bucket = query_plane_indices(
                 folded_q, self.device_bitcount
             )
-            fn = self._get_search_fn(k_fetch, bucket, similarity, plane_bucket)
+            fn, missing_key = self._get_search_fn_serving(
+                k_fetch, bucket, similarity, plane_bucket
+            )
             query_arg = jnp.asarray(plane_idx)
         else:
-            fn = self._get_search_fn(k_fetch, bucket, similarity)
+            fn, missing_key = self._get_search_fn_serving(
+                k_fetch, bucket, similarity
+            )
             query_arg = jnp.asarray(folded_q)
-        vals, idx, approx = fn(
+        call_args = (
             query_arg,
             jnp.asarray(folded_pops),
             jnp.asarray(cut_padded),
             jnp.float32(alpha),
             jnp.float32(beta),
         )
+        vals, idx, approx = fn(*call_args)
+        if missing_key is not None:
+            # served via a promoted (larger) fetch bucket: compile the
+            # exact program off the request path for subsequent traffic
+            self._compile_in_background(missing_key, call_args)
         # one concurrent device->host gather: separate np.asarray calls cost
         # one full dispatch round-trip each (~24 ms over a remote tunnel)
         import jax

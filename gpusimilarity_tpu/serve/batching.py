@@ -46,10 +46,17 @@ class BatchingSearcher:
         registry: DatabaseRegistry,
         max_batch: int = 64,
         window_ms: float = 2.0,
+        result_timeout_s: float = 1500.0,
     ):
         self._registry = registry
         self._max_batch = max_batch
         self._window_s = window_ms / 1e3
+        # default result deadline must outlive the WORST measured live
+        # compile (12-23 min for the 768M fold-8 program on the remote
+        # chip) — k-bucket promotion keeps warmed shapes off that path,
+        # but a cold shape (--no_warmup, k beyond the warmed max) still
+        # compiles on the request thread
+        self._result_timeout_s = result_timeout_s
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         # groups run on a small pool, not inline in the drain loop: a group
@@ -78,9 +85,11 @@ class BatchingSearcher:
         similarity: str = TANIMOTO,
         alpha: float = 1.0,
         beta: float = 1.0,
-        timeout: float = 600.0,  # first query of a shape pays XLA compile
+        timeout: float | None = None,  # None -> the searcher's default
     ) -> SearchResult:
         """Blocking search; may share a device pass with concurrent callers."""
+        if timeout is None:
+            timeout = self._result_timeout_s
         item = _Pending(
             dbnames=tuple(dbnames),
             dbkeys=tuple(dbkeys),

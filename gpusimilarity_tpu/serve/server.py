@@ -40,6 +40,7 @@ import numpy as np
 from ..models.registry import DatabaseRegistry
 from ..ops.scan import TANIMOTO, TVERSKY
 from ..utils.fingerprints import (
+    BITCOUNT,
     FingerprintError,
     fingerprint_bin_to_words,
     compatible_generators,
@@ -96,9 +97,12 @@ class SearchService:
         registry: DatabaseRegistry,
         max_batch: int = 64,
         window_ms: float = 2.0,
+        search_timeout_s: float = 1500.0,
     ):
         self.registry = registry
-        self.searcher = BatchingSearcher(registry, max_batch, window_ms)
+        self.searcher = BatchingSearcher(
+            registry, max_batch, window_ms, result_timeout_s=search_timeout_s
+        )
         self._svg_cache: dict[str, str] = {}
 
     def close(self):
@@ -166,15 +170,32 @@ class SearchService:
                         f"{mine!r}; results would be meaningless. Re-fetch "
                         "with fp_hex, or serve with a matching generator."
                     )
+        # query width follows the QUERIED databases' full bitcount, not a
+        # hardcoded 1024 — a legally-loaded 512-bit library must get
+        # 512-bit queries (the Morgan generator hashes mod nBits, so
+        # generating at the DB's width is RDKit-exact at any power of two)
+        widths = {
+            self.registry.get(n).bitcount
+            for n in dbnames
+            if n in self.registry
+        }
+        if len(widths) > 1:
+            raise RequestError(
+                f"queried databases have mixed fingerprint widths "
+                f"{sorted(widths)}; query them separately"
+            )
+        bitcount = widths.pop() if widths else BITCOUNT
         if fp_hex:
             try:
-                query = fingerprint_bin_to_words(bytes.fromhex(fp_hex))
+                query = fingerprint_bin_to_words(bytes.fromhex(fp_hex), bitcount)
             except ValueError as e:
                 raise RequestError(f"bad fp_hex: {e}") from e
             canonical = ""
         elif src_smiles:
             try:
-                query, canonical = smiles_to_query_words(src_smiles)
+                query, canonical = smiles_to_query_words(
+                    src_smiles, bitcount=bitcount
+                )
             except FingerprintError as e:
                 raise RequestError(str(e)) from e
         else:
@@ -340,8 +361,11 @@ class SimilarityServer:
         max_batch: int = 64,
         window_ms: float = 2.0,
         socket_name: str | None = None,
+        search_timeout_s: float = 1500.0,
     ):
-        self.service = SearchService(registry, max_batch, window_ms)
+        self.service = SearchService(
+            registry, max_batch, window_ms, search_timeout_s=search_timeout_s
+        )
         self.httpd = ThreadingHTTPServer(
             (hostname, port), make_handler(self.service, debug_ui)
         )

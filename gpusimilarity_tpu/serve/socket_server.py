@@ -37,7 +37,12 @@ import threading
 import numpy as np
 
 from ..models.results import SearchResult
-from ..utils.qtstream import QtStreamError, QtStreamReader, QtStreamWriter
+from ..utils.qtstream import (
+    QtStreamCorruptError,
+    QtStreamError,
+    QtStreamReader,
+    QtStreamWriter,
+)
 from .batching import BatchingSearcher
 
 log = logging.getLogger("tpusimilarity.socket")
@@ -122,6 +127,12 @@ class SocketProtocolServer:
                 while True:
                     try:
                         req, used = parse_request(buf)
+                    except QtStreamCorruptError as e:
+                        # complete-but-invalid record: more bytes can never
+                        # fix it, so drop the connection now instead of
+                        # recv-looping toward the 16 MiB cap in silence
+                        log.warning("corrupt socket request dropped: %s", e)
+                        return
                     except QtStreamError:
                         if len(buf) > 16 << 20:
                             # a bogus length prefix would otherwise make us

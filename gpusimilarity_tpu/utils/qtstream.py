@@ -34,6 +34,16 @@ class QtStreamError(ValueError):
     """Raised on malformed QDataStream input."""
 
 
+class QtStreamCorruptError(QtStreamError):
+    """The input is complete enough to decode but structurally invalid.
+
+    Framed protocols distinguish this from the base class: a plain
+    ``QtStreamError`` from a partial buffer means "wait for more bytes",
+    while this means the bytes that DID arrive can never parse — retrying
+    with a longer buffer cannot help, so fail the request immediately.
+    """
+
+
 class QtStreamReader:
     """Sequential reader over a bytes-like object in QDataStream layout."""
 
@@ -87,7 +97,11 @@ class QtStreamReader:
             return b""
         raw = bytes(self._take(n))
         if raw[-1] != 0:
-            raise QtStreamError("writeString payload not NUL-terminated")
+            # the payload is COMPLETE but structurally wrong — distinct
+            # from a truncated buffer, so framed readers (the socket
+            # server) can fail the request instead of waiting for bytes
+            # that will never arrive
+            raise QtStreamCorruptError("writeString payload not NUL-terminated")
         return raw[:-1]
 
     def read_bytearray(self) -> Optional[bytes]:

@@ -359,3 +359,65 @@ class TestCompileBuckets:
             for t in ts:
                 t.join()
         assert len(builds) == 1, f"duplicate compile: {len(builds)}"
+
+
+class TestKBucketPromotion:
+    """A k whose exact fetch bucket is uncompiled must serve immediately
+    via the next-larger warmed bucket — identical results, no live
+    compile — while the exact program compiles off the request path."""
+
+    def test_promoted_bucket_serves_exact_results_then_compiles(self, rng):
+        # plant a query with strongly-separated neighbors: folded
+        # over-fetch exactness is only guaranteed on structured data (the
+        # documented fold contract) — uniform random rows score in one
+        # tight band and the true top-k can fall outside ANY small fetch
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+
+        bits = rng.random((2048, 1024)) < 0.06
+        q_bits = rng.random(1024) < 0.3
+        bits[17] = q_bits
+        on = np.flatnonzero(q_bits)
+        for j in range(8):  # rows 100..107: ever-looser neighbors
+            nb = q_bits.copy()
+            nb[on[: 10 * (j + 1)]] = False
+            bits[100 + j] = nb
+        data = FingerprintData(
+            dbkey="promo", bitcount=1024,
+            fingerprints=np.packbits(bits, axis=1, bitorder="little"),
+            smiles=[f"S{i}".encode() for i in range(2048)],
+            ids=[f"P{i:06d}".encode() for i in range(2048)],
+        )
+        db = FingerprintDB(data, fold_factor=2)
+        db.warmup(ks=(128,))  # compiles ONLY k=128's fetch bucket
+        warmed = db.compile_count
+        assert warmed >= 1
+
+        # k=5's fetch bucket (128) is uncompiled -> the serving lookup
+        # promotes to the warmed 512 bucket and reports the missing key
+        fn, missing = db._get_search_fn_serving(128, 1, "tanimoto")
+        assert missing == (128, 1, "tanimoto", 0)
+        assert db.compile_count == warmed  # the lookup compiled nothing
+
+        words = data.packed_words()
+        q = words[17]
+        r = db.search(q, k=5, dbkey="promo")
+        # correctness through the promoted (larger-fetch) program
+        expected_ids, expected_scores = oracle_topk(data, q, 5)
+        assert r.scores == expected_scores
+        assert r.ids == [i.decode() for i in expected_ids]
+        # the exact bucket compiles off the request path
+        db.drain_background_compiles()
+        assert db.compile_count == warmed + 1
+        fn2, missing2 = db._get_search_fn_serving(128, 1, "tanimoto")
+        assert missing2 is None  # exact program now serves directly
+        # subsequent identical searches now hit the exact program
+        r2 = db.search(q, k=5, dbkey="promo")
+        assert r2.scores == expected_scores
+
+    def test_no_larger_bucket_compiles_inline(self, rng):
+        data = random_fingerprint_data(rng, count=2048, dbkey="promo2")
+        db = FingerprintDB(data)
+        before = db.compile_count
+        r = db.search(data.packed_words()[3], k=5, dbkey="promo2")
+        assert r.scores[0] == 1.0
+        assert db.compile_count == before + 1  # cold path still works

@@ -639,3 +639,107 @@ class TestRound2ReviewFixes:
         from gpusimilarity_tpu.utils.fsim import read_fsim
 
         assert read_fsim(tmp_path / "out.fsim").count == 2
+
+
+class TestNonDefaultBitcount:
+    """The HTTP layer sizes queries to the QUERIED database's bitcount —
+    a legally-loaded 512-bit library must serve SMILES and fp_hex queries
+    (it 500'd on every query when 1024 was hardcoded)."""
+
+    @pytest.fixture(scope="class")
+    def svc512(self):
+        from gpusimilarity_tpu.serve.server import SearchService
+
+        fps, smiles = [], []
+        for smi in CORPUS:
+            fp, canon = smiles_to_fingerprint_bin(smi, bitcount=512)
+            fps.append(np.frombuffer(fp, np.uint8))
+            smiles.append(canon)
+        data = FingerprintData(
+            bitcount=512, fingerprints=np.stack(fps), smiles=smiles,
+            ids=[f"H{i:04d}".encode() for i in range(len(CORPUS))],
+        )
+        registry = DatabaseRegistry()
+        registry.add("half", data)
+        registry.add("full", corpus_data())
+        svc = SearchService(registry, window_ms=1.0)
+        yield svc, fps
+        svc.close()
+
+    def test_smiles_query_serves_512_bit_db(self, svc512):
+        svc, fps = svc512
+        out = svc.handle_search({"smiles": CORPUS[0], "dbnames": "half"})
+        assert out["results"][0][2] == 1.0  # self-match at the DB's width
+
+    def test_fp_hex_at_db_width(self, svc512):
+        svc, fps = svc512
+        out = svc.handle_search(
+            {"fp_hex": fps[3].tobytes().hex(), "dbnames": "half"}
+        )
+        assert out["results"][0][0] == "H0003"
+        assert out["results"][0][2] == 1.0
+
+    def test_fp_hex_wrong_width_is_400_not_500(self, svc512):
+        svc, fps = svc512
+        with pytest.raises(RequestError, match="bytes"):
+            svc.handle_search({"fp_hex": "00" * 128, "dbnames": "half"})
+
+    def test_mixed_width_query_rejected(self, svc512):
+        svc, fps = svc512
+        with pytest.raises(RequestError, match="mixed"):
+            svc.handle_search({"smiles": "CCO", "dbnames": "half,full"})
+
+
+class TestServeTimeouts:
+    def test_timeout_plumbs_from_server_to_batcher(self):
+        from gpusimilarity_tpu.serve.server import SearchService
+
+        registry = DatabaseRegistry()
+        registry.add("c", corpus_data())
+        svc = SearchService(registry, window_ms=1.0, search_timeout_s=123.0)
+        try:
+            assert svc.searcher._result_timeout_s == 123.0
+        finally:
+            svc.close()
+
+
+class TestSocketCorruption:
+    def test_corrupt_string_raises_corrupt_not_truncated(self):
+        """A COMPLETE record whose string payload lacks its NUL must raise
+        the corrupt subclass (fail the connection now), not the base
+        truncation error (which means 'wait for more bytes' and used to
+        stall the connection toward the 16 MiB cap in silence)."""
+        from gpusimilarity_tpu.serve.socket_server import parse_request
+        from gpusimilarity_tpu.utils.qtstream import (
+            QtStreamCorruptError,
+            QtStreamError,
+            QtStreamWriter,
+        )
+
+        w = QtStreamWriter()
+        w.write_int32(1)
+        w.write_string(b"db")
+        w.write_string(b"")
+        w.write_int32(7)
+        w.write_int32(20)
+        w.write_double(0.0)
+        w.write_bytearray(b"\x00" * 128)
+        good = w.getvalue()
+        parse_request(good)  # sanity: the uncorrupted record parses
+
+        # flip the dbname string's trailing NUL (int32 count + uint32 len
+        # + b"db" -> the NUL sits at offset 4 + 4 + 2)
+        bad = bytearray(good)
+        assert bad[10] == 0
+        bad[10] = ord("X")
+        with pytest.raises(QtStreamCorruptError):
+            parse_request(bytes(bad))
+
+        # genuine truncation still raises the BASE class only (retryable)
+        try:
+            parse_request(good[:-10])
+            raise AssertionError("truncated record must not parse")
+        except QtStreamCorruptError:
+            raise AssertionError("truncation misclassified as corruption")
+        except QtStreamError:
+            pass
