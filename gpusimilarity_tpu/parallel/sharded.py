@@ -261,7 +261,7 @@ class BitplaneStore:
     mesh: jax.sharding.Mesh
     axis: str
     planes: jax.Array  # uint32 ((bitcount+1)*8, n_padded // 256), P(None, axis)
-    popcounts: jax.Array  # int32 (n_padded,), P(axis)
+    popcounts: jax.Array  # int16 (n_padded,), P(axis)
     n_valid: int
     chunk_cols: int
     bitcount: int
@@ -348,7 +348,12 @@ def build_bitplane_store(
         mesh=mesh,
         axis=axis,
         planes=jax.device_put(arranged, NamedSharding(mesh, P(None, axis))),
-        popcounts=jax.device_put(pops, NamedSharding(mesh, P(axis))),
+        # int16 like the dense store (sharded.py:79-82): a popcount is
+        # <= bitcount <= 32767, and at 768M rows the int32 flat array
+        # costs 3 GiB of HBM — the difference between a fold-8 bitplane
+        # flagship fitting beside its 12.3 GiB of planes or OOMing
+        # (scoring casts to f32; pops3 keeps its own kernel layout)
+        popcounts=jax.device_put(pops.astype(np.int16), NamedSharding(mesh, P(axis))),
         n_valid=n,
         chunk_cols=chunk,
         bitcount=bitcount,
