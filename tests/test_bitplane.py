@@ -118,6 +118,13 @@ class TestBitplaneEngine:
     # tests/test_two_phase.py::TestBitplaneTwoPhase (this class's 8-shard
     # geometry lands every case in the small-shard shortcut).
 
+    def test_store_popcounts_are_int16(self, dbs):
+        # int16 like the dense store: at 768M rows an int32 flat popcount
+        # array costs 3 GiB of HBM — the difference between a fold-8
+        # bitplane flagship fitting beside its planes or OOMing.
+        _, bitp = dbs
+        assert bitp._store.popcounts.dtype == jnp.int16
+
     def test_folded_bitplane(self, dbs):
         import os
 
