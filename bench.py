@@ -26,9 +26,14 @@ REFERENCE_FPS_PER_GPU = 1.25e9  # BASELINE.md derived figure
 def main():
     import sys
 
-    rows_env = int(os.environ.get("TPUSIM_BENCH_ROWS", 96 * 1024 * 1024))
+    rows_env = int(os.environ.get("TPUSIM_BENCH_ROWS", 104 * 1024 * 1024))
     last_err = None
-    for rows in (rows_env, (rows_env * 2 // 3) & ~262143, rows_env // 2):
+    # OOM fallback ladder: prefer the long-measured 96M configuration over
+    # a blind 2/3 cut when the default (or a larger request) doesn't fit
+    fallbacks = [
+        r for r in (96 * 1024 * 1024, 64 * 1024 * 1024) if r < rows_env
+    ] or [(rows_env * 2 // 3) & ~262143, rows_env // 2]
+    for rows in (rows_env, *fallbacks):
         try:
             _run(rows)
             return
@@ -69,9 +74,10 @@ def _run(n_rows):
         build_store_from_device,
     )
 
-    # default 96M rows = 12.3 GB of packed fingerprints resident per chip
-    # (the 1B-on-8-chips target is 125M/chip; 96M is the safe margin under
-    # this chip's 15.75 GB usable HBM with workspace)
+    # default 104M rows = 14.0 GB of packed fingerprints resident per chip
+    # (the 1B-on-8-chips target is 125M/chip; 104M is the measured-safe
+    # margin under this chip's 15.75 GB usable HBM beside the int32
+    # popcount arrays and the batch-32 phase-1 workspace — 112M OOMs)
     k = int(os.environ.get("TPUSIM_BENCH_K", 128))
     batch = int(os.environ.get("TPUSIM_BENCH_BATCH", 1))
     repeats = int(os.environ.get("TPUSIM_BENCH_REPEATS", 10))

@@ -133,6 +133,7 @@ def build_database_streaming(
     dbkey: str = "",
     trust_smiles: bool = False,
     workers: int = 0,
+    overwrite: bool = False,
 ) -> int:
     """Stream straight into a ``.tfsim`` directory; returns the row count.
 
@@ -145,7 +146,8 @@ def build_database_streaming(
     from ..utils.tfsim import TfsimStreamWriter
 
     with TfsimStreamWriter(
-        outputfile, bitcount=BITCOUNT, dbkey=dbkey, generator=generator_tag()
+        outputfile, bitcount=BITCOUNT, dbkey=dbkey, generator=generator_tag(),
+        overwrite=overwrite,
     ) as writer:
         for fps, smiles, ids in iter_fingerprint_batches(
             inputfile, trust_smiles=trust_smiles, workers=workers
@@ -187,19 +189,14 @@ def main(argv=None):
 
     # refuse to clobber an existing database up front — identically for
     # both formats, and BEFORE the (potentially hours-long) fingerprinting
-    # pass rather than at first write
-    if os.path.exists(args.outputfile):
-        if not args.force:
-            parser.error(
-                f"output {args.outputfile!r} already exists "
-                "(pass --force to overwrite)"
-            )
-        if os.path.isdir(args.outputfile):
-            import shutil
-
-            shutil.rmtree(args.outputfile)
-        else:
-            os.unlink(args.outputfile)
+    # pass rather than at first write. With --force the existing database
+    # is NOT deleted here: both writers build under a temp name and swap
+    # at the end, so a mid-build failure leaves the old database serving.
+    if os.path.exists(args.outputfile) and not args.force:
+        parser.error(
+            f"output {args.outputfile!r} already exists "
+            "(pass --force to overwrite)"
+        )
 
     workers = 1 if args.singleThreaded else args.workers
     if str(args.outputfile).endswith(".tfsim"):
@@ -209,6 +206,7 @@ def main(argv=None):
             dbkey=args.dbkey,
             trust_smiles=args.trustSmiles,
             workers=workers,
+            overwrite=args.force,
         )
     else:
         data = build_database(
@@ -217,6 +215,13 @@ def main(argv=None):
             trust_smiles=args.trustSmiles,
             workers=workers,
         )
+        if args.force and os.path.isdir(args.outputfile):
+            # a directory can't be os.replace'd by write_fsim's tmp file;
+            # the build already succeeded (data is in RAM), so clearing
+            # the old output now risks nothing
+            import shutil
+
+            shutil.rmtree(args.outputfile)
         write_fsim(args.outputfile, data)
     print(
         f"Database generation finished with key: {args.dbkey}", file=sys.stderr

@@ -256,7 +256,7 @@ class FingerprintDB:
         shard. RAM-backed tables (``.fsim`` loads, plain lists) are sliced
         to this process's global row span (:class:`multihost.HostStrings`);
         result assembly then resolves non-owned rows with a cross-host
-        collective (``multihost.resolve_strings``).
+        collective (``multihost.resolve_strings_many``).
         """
         from ..parallel import multihost
 
@@ -268,14 +268,36 @@ class FingerprintDB:
                 local = [bytes(s) for s in table[lo : min(hi, n)]]
                 setattr(self, attr, multihost.HostStrings(local, lo, hi))
 
-    def _lookup_strings(self, table, indices) -> list[str]:
+    def _lookup_strings_batch(self, idx_lists):
+        """Resolve smiles+ids for many result index arrays at once.
+
+        Host-sharded tables (multi-host serving) cost cross-host
+        collectives; gathering every query's smiles AND ids in a single
+        :func:`multihost.resolve_strings_many` call pays 2 collectives per
+        search batch instead of 2 per query per field. Local tables
+        resolve directly. Returns ``(smiles_lists, ids_lists)``.
+        """
         from ..parallel import multihost
 
-        if isinstance(table, multihost.HostStrings):
-            raw = multihost.resolve_strings(table, indices)
-        else:
-            raw = [table[int(i)] for i in indices]
-        return [s.decode("utf-8", "replace") for s in raw]
+        out = [[None] * len(idx_lists), [None] * len(idx_lists)]
+        plans, pairs = [], []
+        for fi, table in enumerate((self._smiles, self._ids)):
+            if isinstance(table, multihost.HostStrings):
+                for li, idx in enumerate(idx_lists):
+                    plans.append((fi, li))
+                    pairs.append((table, idx))
+            else:
+                for li, idx in enumerate(idx_lists):
+                    out[fi][li] = [table[int(i)] for i in idx]
+        if pairs:
+            for (fi, li), raw in zip(
+                plans, multihost.resolve_strings_many(pairs)
+            ):
+                out[fi][li] = raw
+        return tuple(
+            [[s.decode("utf-8", "replace") for s in raw] for raw in field]
+            for field in out
+        )
 
     # ------------------------------------------------------------------ info
 
@@ -341,10 +363,25 @@ class FingerprintDB:
         plane key is already compiled, serve with that instead: fetching
         more candidates only widens the exact selection, ``_assemble``
         trims to the caller's ``k``, and the cutoff count is independent
-        of ``k_fetch`` — so results are identical. Returns ``(fn,
-        missing_key)``; ``missing_key`` is the exact key to compile in the
-        background (None when the exact program ran). Warmup bypasses
-        promotion so its ``ks`` actually compile.
+        of ``k_fetch``.
+
+        At ``fold_factor == 1`` the two-phase selection is exact, so the
+        promoted bucket returns results IDENTICAL to the exact one, and
+        the exact program is compiled in the background (``missing_key``)
+        to take over. At ``fold_factor > 1`` a larger over-fetch can
+        RECOVER rows the exact bucket's heuristic over-fetch would miss —
+        better, but not identical — so the engine PINS the promoted
+        bucket instead of background-compiling the exact one: switching
+        programs mid-lifetime would make the same query return different
+        result sets before and after the compile landed. The pinning is
+        stable: new buckets only ever compile on-path when no larger one
+        exists (i.e. above the current maximum), which never changes
+        ``min(larger)`` for an already-promoted ``k_fetch``.
+
+        Returns ``(fn, missing_key)``; ``missing_key`` is the exact key to
+        compile in the background (None when the exact program ran or the
+        promotion is pinned). Warmup bypasses promotion so its ``ks``
+        actually compile.
         """
         key = (k_fetch, batch, similarity, plane_bucket)
         if self._warming or key in self._search_fns:
@@ -357,7 +394,8 @@ class FingerprintDB:
         ]
         if not larger:
             return self._get_search_fn(*key), None
-        return self._search_fns[(min(larger), batch, similarity, plane_bucket)], key
+        fn = self._search_fns[(min(larger), batch, similarity, plane_bucket)]
+        return fn, (None if self.fold_factor > 1 else key)
 
     def _compile_in_background(self, key, args) -> None:
         """Compile+execute the exact k-bucket program off the request path.
@@ -475,8 +513,9 @@ class FingerprintDB:
         ``_warmup_queries``), not just row 0's. The ``ks`` need not
         enumerate every k-fetch bucket: serving **promotes** a request
         whose exact bucket is uncompiled to the next-larger warmed bucket
-        (identical results, see ``_get_search_fn_serving``) while the
-        exact program compiles in the background — so warming the largest
+        (identical results at fold 1; pinned for determinism at fold > 1,
+        see ``_get_search_fn_serving``), at fold 1 compiling the exact
+        program in the background — so warming the largest
         expected ``k`` (default 128) makes every smaller k compile-free.
         Only a k beyond the warmed maximum still pays a live compile.
         ``max_batch``: also compile every batch bucket up to it — the
@@ -604,20 +643,33 @@ class FingerprintDB:
         approx = approx.astype(np.int64).sum(axis=0)
         vals, idx, approx = vals[:b], idx[:b], approx[:b]
 
-        results = []
+        selected = []
         for qi in range(b):
-            results.append(
+            selected.append(
                 self._assemble(
                     queries[qi], vals[qi], idx[qi], int(approx[qi]), int(ks[qi]),
-                    float(cutoffs[qi]), similarity, alpha, beta, return_indices,
+                    float(cutoffs[qi]), similarity, alpha, beta,
                 )
             )
+        # resolve smiles+ids for the WHOLE batch at once: under multi-host
+        # serving this is one cross-host collective instead of 2 per query
+        smiles_b, ids_b = self._lookup_strings_batch([s[1] for s in selected])
+        results = []
+        for qi, (svals, sidx, sapprox) in enumerate(selected):
+            result = SearchResult(
+                smiles=smiles_b[qi],
+                ids=ids_b[qi],
+                scores=[float(v) for v in svals],
+                approximate_count=sapprox,
+            )
+            if return_indices:
+                result.indices = sidx.tolist()
+            results.append(result)
         return results
 
     def _assemble(
         self, query, vals, idx, approx, k, cutoff, similarity, alpha, beta,
-        return_indices,
-    ) -> SearchResult:
+    ) -> tuple:
         finite = vals > -np.inf
         vals, idx = vals[finite], idx[finite]
         in_range = (idx >= 0) & (idx < self.count)
@@ -651,13 +703,4 @@ class FingerprintDB:
             vals, idx = vals[keep], idx[keep]
         order = np.lexsort((idx, -vals))[:k]
         vals, idx = vals[order], idx[order]
-
-        result = SearchResult(
-            smiles=self._lookup_strings(self._smiles, idx),
-            ids=self._lookup_strings(self._ids, idx),
-            scores=[float(v) for v in vals],
-            approximate_count=approx,
-        )
-        if return_indices:
-            result.indices = idx.tolist()
-        return result
+        return vals, idx, approx

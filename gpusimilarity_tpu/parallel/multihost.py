@@ -123,38 +123,65 @@ def needs_host_sharding(table) -> bool:
 def resolve_strings(table: "HostStrings", indices):
     """Cross-host string lookup: a COLLECTIVE over all processes.
 
-    Every process contributes the strings it owns and a
-    ``process_allgather`` distributes them; rows nobody owns (padding
-    indices) resolve to ``b""``. Lengths gather first, so the byte buffer
-    is sized to the batch's true maximum — no truncation at any SMILES/ID
-    length, and every process derives the same buffer shape from the
-    replicated length table. All processes must call this in the same
-    order with the same index count — search results are replicated by
-    the SPMD program, so lockstep callers see identical arguments by
-    construction.
+    Convenience wrapper over :func:`resolve_strings_many` for a single
+    (table, indices) pair; see there for the collective contract.
+    """
+    return resolve_strings_many([(table, indices)])[0]
+
+
+def resolve_strings_many(pairs):
+    """Batched cross-host string lookup: ONE collective for many requests.
+
+    ``pairs`` is a list of ``(table, indices)`` — e.g. every query's
+    (smiles, idx) and (ids, idx) of a whole search batch — flattened into
+    a single lengths ``process_allgather`` plus a single byte-buffer
+    ``process_allgather`` (2 collectives total instead of 2 per pair:
+    each collective is a separate dispatch of pure DCN/relay latency on
+    the serving hot path). Returns one ``list[bytes]`` per pair.
+
+    Every process contributes the strings it owns; rows nobody owns
+    (padding indices) resolve to ``b""``. Lengths gather first, so the
+    byte buffer is sized to the batch's true maximum — no truncation at
+    any SMILES/ID length, and every process derives the same buffer shape
+    from the replicated length table. All processes must call this in the
+    same order with the same per-pair index counts — search results are
+    replicated by the SPMD program, so lockstep callers see identical
+    arguments by construction.
     """
     from jax.experimental import multihost_utils
 
-    k = len(indices)
-    local = [table.get(int(gi)) for gi in indices]
+    local = [
+        table.get(int(gi)) for table, indices in pairs for gi in indices
+    ]
+    k = len(local)
+    if k == 0:
+        # nothing to gather anywhere: the index lists are replicated, so
+        # every process skips the collectives symmetrically
+        return [[] for _ in pairs]
     lens = np.array(
         [-1 if s is None else len(s) for s in local], np.int32
     )
     all_lens = multihost_utils.process_allgather(lens)  # (P, k)
-    max_len = max(1, int(all_lens.max(initial=0)))
+    max_len = max(1, int(all_lens.max(initial=0))) if k else 1
     buf = np.zeros((k, max_len), np.uint8)
     for j, s in enumerate(local):
         if s:
             buf[j, : len(s)] = np.frombuffer(s, np.uint8)
     all_buf = multihost_utils.process_allgather(buf)  # (P, k, max_len)
-    out = []
+    flat = []
     for j in range(k):
         owners = np.nonzero(all_lens[:, j] >= 0)[0]
         if owners.size == 0:
-            out.append(b"")
+            flat.append(b"")
             continue
         p = int(owners[0])
-        out.append(all_buf[p, j, : int(all_lens[p, j])].tobytes())
+        flat.append(all_buf[p, j, : int(all_lens[p, j])].tobytes())
+    out = []
+    pos = 0
+    for _, indices in pairs:
+        n = len(indices)
+        out.append(flat[pos : pos + n])
+        pos += n
     return out
 
 
@@ -287,8 +314,21 @@ class MultihostController:
                 # this thread forever and pin the process open)
                 raise RuntimeError("multi-host controller is shut down")
             self._broadcast(req)
+            # Execute with the values as ROUND-TRIPPED through the broadcast
+            # template (float32 cutoffs/alpha/beta), not the caller's float64
+            # originals: the workers can only see the template dtypes, and a
+            # host-side rescore value landing on either side of the cutoff on
+            # different processes would desync the resolve_strings collective
+            # shapes (hang/crash every host).
             return self.registry._execute_batch(
-                dbnames, key_oks, queries, ks, cutoffs, similarity, alpha, beta
+                dbnames,
+                key_oks,
+                req["queries"][:b],
+                [int(k) for k in req["ks"][:b]],
+                [float(c) for c in req["cutoffs"][:b]],
+                similarity,
+                float(req["ab"][0]),
+                float(req["ab"][1]),
             )
 
     def shutdown(self):

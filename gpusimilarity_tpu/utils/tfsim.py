@@ -36,17 +36,31 @@ import numpy as np
 from .fsim import FingerprintData
 from .strings import ConstantStringTable, StridedStringTable, StringTable
 
+# Version 1: fingerprints.npy + "offsets" string tables. Version 2 adds
+# the "strided"/"constant" string-table kinds (and the "encoding" field);
+# files are stamped v2 only when they actually use one, so v1-only readers
+# reject them with a clear version error instead of a missing-file crash.
 FORMAT_VERSION = 1
+MAX_FORMAT_VERSION = 2
 
 
 def _save_strings(dirpath: Path, field: str, strings) -> dict:
     """Write one string field under its most compact layout; returns its
     ``meta.json`` descriptor."""
     if isinstance(strings, ConstantStringTable):
-        return {
-            "kind": "constant",
-            "value": strings.value.decode("utf-8"),
-        }
+        try:
+            return {
+                "kind": "constant",
+                "value": strings.value.decode("utf-8"),
+            }
+        except UnicodeDecodeError:
+            # the table API is bytes-based; latin1 round-trips any byte
+            # value through JSON one-to-one
+            return {
+                "kind": "constant",
+                "value": strings.value.decode("latin1"),
+                "encoding": "latin1",
+            }
     if isinstance(strings, StridedStringTable):
         strings._blob.tofile(dirpath / f"{field}.blob")
         return {"kind": "strided", "itemsize": strings.itemsize}
@@ -63,7 +77,8 @@ def _save_strings(dirpath: Path, field: str, strings) -> dict:
 def _load_strings(dirpath: Path, field: str, desc: dict, count: int, mmap: bool):
     kind = desc.get("kind", "offsets")
     if kind == "constant":
-        return ConstantStringTable(desc["value"].encode("utf-8"), count)
+        encoding = desc.get("encoding", "utf-8")
+        return ConstantStringTable(desc["value"].encode(encoding), count)
     blob_path = dirpath / f"{field}.blob"
     blob = np.memmap(blob_path, dtype=np.uint8, mode="r") if (
         mmap and blob_path.stat().st_size > 0
@@ -78,7 +93,41 @@ def _load_strings(dirpath: Path, field: str, desc: dict, count: int, mmap: bool)
     return StringTable(blob, offsets)
 
 
-def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
+def _strings_format_version(strings_meta: dict) -> int:
+    """v1 unless a v2-only string layout (strided/constant) is present."""
+    needs_v2 = any(
+        d.get("kind", "offsets") != "offsets" for d in strings_meta.values()
+    )
+    return 2 if needs_v2 else FORMAT_VERSION
+
+
+def _swap_into_place(tmp: Path, path: Path, overwrite: bool) -> None:
+    """Rename ``tmp`` onto ``path``; with ``overwrite``, swap the existing
+    target aside first and remove it only after the new one is in place —
+    the old database survives any failure before this point."""
+    import shutil
+
+    if path.exists():
+        if not overwrite:
+            raise FileExistsError(f"{path} already exists")
+        old = path.with_name(path.name + f".old.{os.getpid()}")
+        path.rename(old)
+        try:
+            tmp.rename(path)
+        except Exception:
+            old.rename(path)  # restore the previous database
+            raise
+        if old.is_dir():
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            old.unlink(missing_ok=True)
+    else:
+        tmp.rename(path)
+
+
+def save_native(
+    path: str | os.PathLike, data: FingerprintData, overwrite: bool = False
+) -> None:
     """Write a ``.tfsim`` directory (atomically: build under a temp name)."""
     data.validate()
     path = Path(path)
@@ -93,7 +142,7 @@ def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
         (tmp / "meta.json").write_text(
             json.dumps(
                 {
-                    "format_version": FORMAT_VERSION,
+                    "format_version": _strings_format_version(strings_meta),
                     "dbkey": data.dbkey,
                     "bitcount": data.bitcount,
                     "count": data.count,
@@ -102,9 +151,7 @@ def save_native(path: str | os.PathLike, data: FingerprintData) -> None:
                 }
             )
         )
-        if path.exists():
-            raise FileExistsError(f"{path} already exists")
-        tmp.rename(path)
+        _swap_into_place(tmp, path, overwrite)
     except Exception:
         import shutil
 
@@ -116,10 +163,9 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
     """Load a ``.tfsim`` directory; arrays are memory-mapped by default."""
     path = Path(path)
     meta = json.loads((path / "meta.json").read_text())
-    if meta.get("format_version") != FORMAT_VERSION:
-        raise ValueError(
-            f"unsupported .tfsim format version {meta.get('format_version')}"
-        )
+    version = meta.get("format_version")
+    if not isinstance(version, int) or not 1 <= version <= MAX_FORMAT_VERSION:
+        raise ValueError(f"unsupported .tfsim format version {version}")
     mode = "r" if mmap else None
     fingerprints = np.load(path / "fingerprints.npy", mmap_mode=mode)
     strings_meta = meta.get("strings", {})
@@ -188,9 +234,11 @@ class TfsimStreamWriter:
         bitcount: int = 1024,
         dbkey: str = "",
         generator: str = "",
+        overwrite: bool = False,
     ):
         self.path = Path(path)
-        if self.path.exists():
+        self._overwrite = overwrite
+        if self.path.exists() and not overwrite:
             raise FileExistsError(f"{self.path} already exists")
         self.bitcount = bitcount
         self.dbkey = dbkey
@@ -217,11 +265,21 @@ class TfsimStreamWriter:
         ids: "list[bytes]",
     ) -> None:
         """Append rows: packed fingerprint bytes + parallel string lists."""
-        fp = np.ascontiguousarray(
-            np.frombuffer(fingerprints, np.uint8)
-            if isinstance(fingerprints, (bytes, bytearray, memoryview))
-            else np.asarray(fingerprints, np.uint8)
-        ).reshape(-1, self._row_bytes)
+        if isinstance(fingerprints, (bytes, bytearray, memoryview)):
+            fp = np.frombuffer(fingerprints, np.uint8)
+        else:
+            fp = np.asarray(fingerprints)
+            if fp.dtype != np.uint8:
+                # np.asarray(arr, np.uint8) would VALUE-truncate packed
+                # uint32 words (every word mod 256) and write a silently
+                # corrupt database; callers with packed words must pass
+                # row-major bytes (e.g. arr.view/astype explicitly)
+                raise TypeError(
+                    f"fingerprints must be raw uint8 bytes, got dtype "
+                    f"{fp.dtype}; reinterpret packed words with "
+                    ".view(np.uint8) (little-endian rows) instead"
+                )
+        fp = np.ascontiguousarray(fp).reshape(-1, self._row_bytes)
         n = fp.shape[0]
         if len(smiles) != n or len(ids) != n:
             raise ValueError(
@@ -269,9 +327,7 @@ class TfsimStreamWriter:
                     }
                 )
             )
-            if self.path.exists():
-                raise FileExistsError(f"{self.path} already exists")
-            self._tmp.rename(self.path)
+            _swap_into_place(self._tmp, self.path, self._overwrite)
         except Exception:
             self.abort()
             raise

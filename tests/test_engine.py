@@ -363,10 +363,42 @@ class TestCompileBuckets:
 
 class TestKBucketPromotion:
     """A k whose exact fetch bucket is uncompiled must serve immediately
-    via the next-larger warmed bucket — identical results, no live
-    compile — while the exact program compiles off the request path."""
+    via the next-larger warmed bucket — no live compile. At fold 1 the
+    results are identical and the exact program compiles off the request
+    path; at fold > 1 the promoted bucket is PINNED (switching programs
+    mid-lifetime could change which candidates the over-fetch recovers)."""
 
     def test_promoted_bucket_serves_exact_results_then_compiles(self, rng):
+        # fold 1: two-phase selection is exact, so promotion is
+        # result-identical and the exact bucket may take over later
+        data = random_fingerprint_data(rng, count=2048, dbkey="promo")
+        db = FingerprintDB(data)
+        db.warmup(ks=(500,))  # compiles ONLY the 512 fetch bucket
+        warmed = db.compile_count
+        assert warmed >= 1
+
+        # k=5's fetch bucket (128) is uncompiled -> the serving lookup
+        # promotes to the warmed 512 bucket and reports the missing key
+        fn, missing = db._get_search_fn_serving(128, 1, "tanimoto")
+        assert missing == (128, 1, "tanimoto", 0)
+        assert db.compile_count == warmed  # the lookup compiled nothing
+
+        q = data.packed_words()[17]
+        r = db.search(q, k=5, dbkey="promo")
+        # correctness through the promoted (larger-fetch) program
+        expected_ids, expected_scores = oracle_topk(data, q, 5)
+        assert r.scores == expected_scores
+        assert r.ids == [i.decode() for i in expected_ids]
+        # the exact bucket compiles off the request path
+        db.drain_background_compiles()
+        assert db.compile_count == warmed + 1
+        fn2, missing2 = db._get_search_fn_serving(128, 1, "tanimoto")
+        assert missing2 is None  # exact program now serves directly
+        # subsequent identical searches now hit the exact program
+        r2 = db.search(q, k=5, dbkey="promo")
+        assert r2.scores == expected_scores
+
+    def test_fold_promotion_pins_the_promoted_bucket(self, rng):
         # plant a query with strongly-separated neighbors: folded
         # over-fetch exactness is only guaranteed on structured data (the
         # documented fold contract) — uniform random rows score in one
@@ -388,31 +420,28 @@ class TestKBucketPromotion:
             ids=[f"P{i:06d}".encode() for i in range(2048)],
         )
         db = FingerprintDB(data, fold_factor=2)
-        db.warmup(ks=(128,))  # compiles ONLY k=128's fetch bucket
+        db.warmup(ks=(128,))  # compiles ONLY k=128's fetch bucket (512)
         warmed = db.compile_count
         assert warmed >= 1
 
-        # k=5's fetch bucket (128) is uncompiled -> the serving lookup
-        # promotes to the warmed 512 bucket and reports the missing key
+        # k=5's fetch bucket (128) is uncompiled -> promoted to the
+        # warmed 512 bucket and PINNED: at fold > 1 a wider over-fetch
+        # can recover different (better) candidates, so swapping in the
+        # exact program later would change answers mid-lifetime
         fn, missing = db._get_search_fn_serving(128, 1, "tanimoto")
-        assert missing == (128, 1, "tanimoto", 0)
-        assert db.compile_count == warmed  # the lookup compiled nothing
+        assert missing is None
+        assert db.compile_count == warmed
 
-        words = data.packed_words()
-        q = words[17]
+        q = data.packed_words()[17]
         r = db.search(q, k=5, dbkey="promo")
-        # correctness through the promoted (larger-fetch) program
         expected_ids, expected_scores = oracle_topk(data, q, 5)
         assert r.scores == expected_scores
         assert r.ids == [i.decode() for i in expected_ids]
-        # the exact bucket compiles off the request path
+        # nothing compiled behind the scenes; answers stay deterministic
         db.drain_background_compiles()
-        assert db.compile_count == warmed + 1
-        fn2, missing2 = db._get_search_fn_serving(128, 1, "tanimoto")
-        assert missing2 is None  # exact program now serves directly
-        # subsequent identical searches now hit the exact program
+        assert db.compile_count == warmed
         r2 = db.search(q, k=5, dbkey="promo")
-        assert r2.scores == expected_scores
+        assert (r2.scores, r2.ids) == (r.scores, r.ids)
 
     def test_no_larger_bucket_compiles_inline(self, rng):
         data = random_fingerprint_data(rng, count=2048, dbkey="promo2")

@@ -423,3 +423,54 @@ def test_serve_worker_survives_failing_request():
     c._broadcast = lambda payload: next(seq)  # shadow the collective
     c.serve_worker()  # returns via the shutdown op, exception logged
     assert reg.calls == 1
+
+
+def test_resolve_strings_many_splits_pairs_in_one_collective():
+    """Batched cross-host lookup: per-pair splitting, b'' for unowned
+    rows, empty pairs, and the all-empty early-out (single-process
+    collectives are identities, so the splitting logic is what's pinned)."""
+    from gpusimilarity_tpu.parallel import multihost
+
+    a = multihost.HostStrings([b"a0", b"a1"], 0, 4)
+    b = multihost.HostStrings([b"b2", b"b3"], 2, 4)
+    out = multihost.resolve_strings_many(
+        [(a, [0, 1, 3]), (b, [2, 0]), (a, [])]
+    )
+    assert out == [[b"a0", b"a1", b""], [b"b2", b""], []]
+    # all-empty: skips the collectives entirely (symmetric on every process)
+    assert multihost.resolve_strings_many([(a, []), (b, [])]) == [[], []]
+    # single-pair wrapper unchanged
+    assert multihost.resolve_strings(a, [1, 2]) == [b"a1", b""]
+
+
+def test_dispatch_batch_executes_with_broadcast_roundtripped_values():
+    """Process 0 must run the search with the float32 values the workers
+    decode from the broadcast template — float64 originals could rescore
+    a boundary row differently and desync the string-resolve collective."""
+    import numpy as np
+
+    from gpusimilarity_tpu.parallel.multihost import MultihostController
+
+    class _Recorder(_FakeRegistry):
+        def __init__(self, names):
+            super().__init__(names)
+            self.seen = None
+
+        def _execute_batch(
+            self, dbnames, key_oks, queries, ks, cutoffs, similarity,
+            alpha, beta,
+        ):
+            self.seen = (list(ks), list(cutoffs), alpha, beta)
+            return ["ok"]
+
+    reg = _Recorder(["db0"])
+    c = MultihostController(reg, max_batch=4)
+    c.dispatch_batch(
+        ["db0"], [True], np.zeros((1, 32), np.uint32), [5], [0.3],
+        "tversky", 0.3, 0.7,
+    )
+    ks, cutoffs, alpha, beta = reg.seen
+    assert ks == [5]
+    assert cutoffs == [float(np.float32(0.3))] != [0.3]
+    assert alpha == float(np.float32(0.3)) != 0.3
+    assert beta == float(np.float32(0.7)) != 0.7

@@ -151,6 +151,72 @@ class TestCompactStringTables:
         with pytest.raises(ValueError, match="fixed-width"):
             StridedStringTable.from_strings([b"ab", b"abc"])
 
+    def test_compact_layouts_stamp_format_version_2(self, tmp_path):
+        """strided/constant tables are a v2 feature: a v1-only reader must
+        see a clear version error, not a missing-file crash deep in the
+        loader. Plain offsets tables keep writing v1."""
+        import json
+
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+        from gpusimilarity_tpu.utils.strings import ConstantStringTable
+
+        n = 4
+        compact = FingerprintData(
+            dbkey="v", bitcount=1024,
+            fingerprints=np.zeros((n, 128), np.uint8),
+            smiles=ConstantStringTable(b"C", n),
+            ids=[f"I{i}".encode() for i in range(n)],
+        )
+        path = tmp_path / "v2.tfsim"
+        save_native(path, compact)
+        assert json.loads((path / "meta.json").read_text())[
+            "format_version"
+        ] == 2
+        assert load_native(path).smiles[0] == b"C"  # current reader accepts
+
+        plain = FingerprintData(
+            dbkey="v", bitcount=1024,
+            fingerprints=np.zeros((n, 128), np.uint8),
+            smiles=[b"C"] * n, ids=[f"I{i}".encode() for i in range(n)],
+        )
+        path1 = tmp_path / "v1.tfsim"
+        save_native(path1, plain)
+        assert json.loads((path1 / "meta.json").read_text())[
+            "format_version"
+        ] == 1
+
+    def test_reader_rejects_future_versions(self, tmp_path, rng):
+        import json
+
+        data = random_fingerprint_data(rng, count=3)
+        path = tmp_path / "future.tfsim"
+        save_native(path, data)
+        meta = json.loads((path / "meta.json").read_text())
+        meta["format_version"] = 99
+        (path / "meta.json").write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="format version 99"):
+            load_native(path)
+
+    def test_constant_table_with_non_utf8_bytes_roundtrips(self, tmp_path):
+        """The string-table API is bytes-based; a constant value that isn't
+        UTF-8 must still save/load byte-exactly (latin1-in-JSON escape)."""
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+        from gpusimilarity_tpu.utils.strings import ConstantStringTable
+
+        raw = b"\xff\xfe\x00raw"
+        n = 3
+        data = FingerprintData(
+            dbkey="nb", bitcount=1024,
+            fingerprints=np.zeros((n, 128), np.uint8),
+            smiles=ConstantStringTable(raw, n),
+            ids=[f"I{i}".encode() for i in range(n)],
+        )
+        path = tmp_path / "nonutf8.tfsim"
+        save_native(path, data)
+        back = load_native(path)
+        assert back.smiles[0] == raw
+        assert (path / "meta.json").exists()  # no half-written temp left
+
 
 class TestStreamWriter:
     def test_stream_matches_save_native(self, tmp_path, rng):
@@ -195,6 +261,49 @@ class TestStreamWriter:
         save_native(out, data)
         with pytest.raises(FileExistsError):
             TfsimStreamWriter(out)
+
+    def test_rejects_non_uint8_fingerprint_arrays(self, tmp_path):
+        """np.asarray(packed_words, np.uint8) would VALUE-truncate every
+        uint32 word to its low byte and write a silently corrupt database
+        — the writer must reject non-uint8 arrays outright."""
+        from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+        out = tmp_path / "typed.tfsim"
+        words = np.arange(2 * 32, dtype=np.uint32).reshape(2, 32)
+        with pytest.raises(TypeError, match="uint8"):
+            with TfsimStreamWriter(out, bitcount=1024) as w:
+                w.append_batch(words, [b"C", b"C"], [b"A", b"B"])
+        assert not out.exists()
+        # the documented escape hatch works and round-trips byte-exactly
+        with TfsimStreamWriter(out, bitcount=1024) as w:
+            w.append_batch(words.view(np.uint8), [b"C", b"C"], [b"A", b"B"])
+        back = load_native(out)
+        np.testing.assert_array_equal(
+            np.asarray(back.fingerprints).view(np.uint32).reshape(2, 32),
+            words,
+        )
+
+    def test_overwrite_swaps_only_at_close(self, tmp_path, rng):
+        """overwrite=True keeps the old database until the new one is
+        fully built: an abort mid-write must leave the original intact."""
+        from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+        data = random_fingerprint_data(rng, count=3, dbkey="old")
+        out = tmp_path / "swap.tfsim"
+        save_native(out, data)
+
+        with pytest.raises(RuntimeError, match="boom"):
+            with TfsimStreamWriter(out, bitcount=1024, dbkey="new",
+                                   overwrite=True) as w:
+                w.append_batch(np.zeros((1, 128), np.uint8), [b"C"], [b"X"])
+                raise RuntimeError("boom")
+        assert load_native(out).dbkey == "old"  # original survived
+
+        with TfsimStreamWriter(out, bitcount=1024, dbkey="new",
+                               overwrite=True) as w:
+            w.append_batch(np.zeros((1, 128), np.uint8), [b"C"], [b"X"])
+        assert load_native(out).dbkey == "new"  # clean swap on success
+        assert list(tmp_path.glob("*.old.*")) == []  # no litter
 
     def test_createdb_streams_tfsim_and_serves(self, tmp_path):
         """createdb --output foo.tfsim -> registry serve round-trip
@@ -324,3 +433,33 @@ class TestCreatedbOverwrite:
         createdb.main(argv + ["--force"])  # explicit overwrite succeeds
         loaded = load_any(out)
         assert loaded.count == 2
+
+    @pytest.mark.parametrize("ext", [".fsim", ".tfsim"])
+    def test_force_keeps_old_database_until_the_new_one_is_complete(
+        self, tmp_path, ext, monkeypatch
+    ):
+        """--force must NOT delete the existing output before the
+        (potentially hours-long) build: a mid-build failure leaves the
+        previous database intact and serving."""
+        from gpusimilarity_tpu.cli import createdb
+
+        smi = tmp_path / "in.smi"
+        smi.write_text("CCO ethanol\nCCN ethylamine\n")
+        out = tmp_path / ("db" + ext)
+        argv = [str(smi), str(out), "--dbkey", "k", "--singleThreaded"]
+        createdb.main(argv)
+        before = load_any(out)
+        assert before.count == 2
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-build failure")
+            yield  # pragma: no cover — keep it a generator
+
+        monkeypatch.setattr(createdb, "iter_fingerprint_batches", boom)
+        with pytest.raises(RuntimeError, match="mid-build"):
+            createdb.main(argv + ["--force"])
+        survived = load_any(out)  # the old database is still there
+        assert survived.count == 2
+        assert [bytes(s) for s in survived.ids] == [
+            bytes(s) for s in before.ids
+        ]
