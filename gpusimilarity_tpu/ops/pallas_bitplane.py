@@ -17,13 +17,16 @@ VMEM:
   pipeline them, which made XLA materialize P copies of the library);
 * the CSA tree runs on whole ``(8, mc8)`` registers;
 * instead of unpacking bit-sliced counters into per-column integers (a
-  rank-3 relayout), scoring iterates the 32 lane-bit positions: for each bit
-  ``b`` a single shift+mask per counter rebuilds that bit-column's counts as
-  another perfect ``(8, mc8)`` tile (``(c_j >> (b-j)) & (1 << j)``), which
-  is scored against the bit-rearranged popcount planes (``pops3``) into
-  running per-word maxima and cutoff counts. Tanimoto needs no division
-  guard beyond ``maximum(denom, 1)``: the denominator is a non-negative
-  integer and is zero only when the numerator is;
+  rank-3 relayout), scoring iterates the lane-bit positions in PAIRS
+  (b, b+16): one right shift moves counter bit ``b`` to weight ``j`` and
+  bit ``b+16`` to weight ``j+16`` simultaneously, so a single shift + one
+  combined mask per counter rebuilds BOTH columns' counts packed in the
+  16-bit halves of a perfect ``(8, mc8)`` uint32 tile (counts <= 1024
+  always fit). Each half is scored against the bit-rearranged popcount
+  planes (``pops3``) into running per-word maxima and cutoff counts.
+  Tanimoto needs no division guard beyond ``maximum(denom, 1)``: the
+  denominator is a non-negative integer and is zero only when the
+  numerator is;
 * per-word maxima stream out as tile-aligned blocks; the tiny block-max
   reduction runs outside the kernel (Mosaic cannot shape-cast (8, mc8) to
   (8, bpc, bw8)).
@@ -118,23 +121,11 @@ def _batched_kernel(
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (8, mc8), 0)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, mc8), 1)
     col_base = off_ref[0] + 32 * (r_iota * m8s + ci * mc8 + w_iota)
+    # hoisted validity limit: lane-bit b is a real column iff b < vlim
+    vlim = n_valid - col_base
 
-    bmax = jnp.full((8, mc8), NEG_INF, dtype=jnp.float32)
-    count = jnp.zeros((8, mc8), dtype=jnp.int32)
-    for b in range(32):
-        # bit b of counter j, already in place at weight 2**j: one shift +
-        # one mask per counter (vs shift/mask/shift of the naive unpack)
-        common = jnp.zeros((8, mc8), dtype=jnp.uint32)
-        for j, cj in enumerate(counters):
-            if b >= j:
-                picked = (cj >> jnp.uint32(b - j)) & jnp.uint32(1 << j)
-            else:
-                picked = (cj << jnp.uint32(j - b)) & jnp.uint32(1 << j)
-            common = common | picked
-        # Mosaic has no uint32->f32 cast; the int32 hop is a free bitcast
-        # (counts are < 2**len(counters))
-        cf = common.astype(jnp.int32).astype(jnp.float32)
-        pop = pops3_ref[b, :, :].astype(jnp.float32)
+    def score_one(cf, bb, bmax, count):
+        pop = pops3_ref[bb, :, :].astype(jnp.float32)
         if similarity == TANIMOTO:
             # denom is a non-negative integer and is 0 only when cf is 0
             # (common <= min(qpop, pop)), so max(denom, 1) never changes a
@@ -149,9 +140,36 @@ def _batched_kernel(
         # from the pinned paths (scan.similarity_from_counts,
         # pallas_scan) — same pin as scan.py:89-93
         s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
-        s = jnp.where(col_base + b < n_valid, s, NEG_INF)
-        bmax = jnp.maximum(bmax, s)
-        count = count + (s >= cutoff).astype(jnp.int32)
+        s = jnp.where(bb < vlim, s, NEG_INF)
+        return jnp.maximum(bmax, s), count + (s >= cutoff).astype(jnp.int32)
+
+    bmax = jnp.full((8, mc8), NEG_INF, dtype=jnp.float32)
+    count = jnp.zeros((8, mc8), dtype=jnp.int32)
+    for b in range(16):
+        # Paired reconstruction of lane-bit columns b and b+16: a single
+        # right shift by (b-j) moves counter bit b to weight position j AND
+        # counter bit b+16 to position j+16, so one shift + one combined
+        # mask per counter rebuilds BOTH columns' counts packed as 16-bit
+        # halves of one uint32 (counts <= 1024 < 2**16 — PLANE_BUCKETS
+        # caps the addend count). Near-halves the reconstruction ops vs
+        # the per-bit loop this replaces.
+        merged = jnp.zeros((8, mc8), dtype=jnp.uint32)
+        for j, cj in enumerate(counters):
+            # one shift serves BOTH halves: bit b -> j and bit b+16 -> j+16
+            # move by the same distance (b-j), whichever its sign
+            m = jnp.uint32((1 << j) | (1 << (j + 16)))
+            if b >= j:
+                merged = merged | ((cj >> jnp.uint32(b - j)) & m)
+            else:
+                merged = merged | ((cj << jnp.uint32(j - b)) & m)
+        # Mosaic has no uint32->f32 cast; the int32 hop is a free bitcast
+        # (both 16-bit halves are < 2**len(counters))
+        cf_lo = (merged & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        cf_hi = (merged >> jnp.uint32(16)).astype(jnp.int32)
+        bmax, count = score_one(cf_lo.astype(jnp.float32), b, bmax, count)
+        bmax, count = score_one(
+            cf_hi.astype(jnp.float32), b + 16, bmax, count
+        )
 
     colmax_ref[0, :, :] = bmax
     cnt_total = jnp.sum(count, keepdims=False)
