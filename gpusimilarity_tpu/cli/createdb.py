@@ -216,13 +216,28 @@ def main(argv=None):
             workers=workers,
         )
         if args.force and os.path.isdir(args.outputfile):
-            # a directory can't be os.replace'd by write_fsim's tmp file;
-            # the build already succeeded (data is in RAM), so clearing
-            # the old output now risks nothing
+            # a directory can't be os.replace'd by write_fsim's tmp file.
+            # Write the new database to a sibling path FIRST: if the write
+            # fails (disk full on a multi-GB output), the old database must
+            # survive. Only once the bytes are on disk is the old directory
+            # swapped aside and removed.
             import shutil
 
-            shutil.rmtree(args.outputfile)
-        write_fsim(args.outputfile, data)
+            new = f"{args.outputfile}.new.{os.getpid()}"
+            write_fsim(new, data)
+            old = f"{args.outputfile}.old.{os.getpid()}"
+            os.rename(args.outputfile, old)
+            try:
+                os.replace(new, args.outputfile)
+            except Exception:
+                os.rename(old, args.outputfile)  # restore the previous db
+                raise
+            # the provenance sidecar travels with the file
+            if os.path.exists(f"{new}.meta.json"):
+                os.replace(f"{new}.meta.json", f"{args.outputfile}.meta.json")
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            write_fsim(args.outputfile, data)
     print(
         f"Database generation finished with key: {args.dbkey}", file=sys.stderr
     )

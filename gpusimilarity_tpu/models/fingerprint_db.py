@@ -163,6 +163,10 @@ class FingerprintDB:
             # pass just partially evicted (see _prewarm_rescore_pages)
             self._prewarm_rescore_pages()
         self._search_fns: dict = {}
+        # fold>1 determinism pins: exact k-fetch key -> the larger compiled
+        # bucket it was promoted to; consulted BEFORE _search_fns so a later
+        # warmup() compiling the exact bucket cannot flip served result sets
+        self._pinned_keys: dict = {}
         self._warming = False
         # k-bucket promotion support: keys whose exact program is being
         # compiled off the request path (single-process only)
@@ -373,10 +377,10 @@ class FingerprintDB:
         better, but not identical — so the engine PINS the promoted
         bucket instead of background-compiling the exact one: switching
         programs mid-lifetime would make the same query return different
-        result sets before and after the compile landed. The pinning is
-        stable: new buckets only ever compile on-path when no larger one
-        exists (i.e. above the current maximum), which never changes
-        ``min(larger)`` for an already-promoted ``k_fetch``.
+        result sets before and after the compile landed. The pin is
+        recorded in ``_pinned_keys`` and consulted before the compiled-
+        program map, so it survives even a later ``warmup()`` compiling
+        the exact bucket (which would otherwise silently unpin it).
 
         Returns ``(fn, missing_key)``; ``missing_key`` is the exact key to
         compile in the background (None when the exact program ran or the
@@ -384,7 +388,13 @@ class FingerprintDB:
         actually compile.
         """
         key = (k_fetch, batch, similarity, plane_bucket)
-        if self._warming or key in self._search_fns:
+        if self._warming:
+            return self._get_search_fn(*key), None
+        if self.fold_factor > 1:
+            pinned = self._pinned_keys.get(key)
+            if pinned is not None:
+                return self._search_fns[pinned], None
+        if key in self._search_fns:
             return self._get_search_fn(*key), None
         larger = [
             kf
@@ -394,8 +404,12 @@ class FingerprintDB:
         ]
         if not larger:
             return self._get_search_fn(*key), None
-        fn = self._search_fns[(min(larger), batch, similarity, plane_bucket)]
-        return fn, (None if self.fold_factor > 1 else key)
+        promoted = (min(larger), batch, similarity, plane_bucket)
+        fn = self._search_fns[promoted]
+        if self.fold_factor > 1:
+            self._pinned_keys[key] = promoted
+            return fn, None
+        return fn, key
 
     def _compile_in_background(self, key, args) -> None:
         """Compile+execute the exact k-bucket program off the request path.

@@ -162,7 +162,7 @@ def resolve_strings_many(pairs):
         [-1 if s is None else len(s) for s in local], np.int32
     )
     all_lens = multihost_utils.process_allgather(lens)  # (P, k)
-    max_len = max(1, int(all_lens.max(initial=0))) if k else 1
+    max_len = max(1, int(all_lens.max(initial=0)))  # k > 0 past the early return
     buf = np.zeros((k, max_len), np.uint8)
     for j, s in enumerate(local):
         if s:

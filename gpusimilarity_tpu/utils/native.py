@@ -42,7 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(path)
             lib.tsn_version.restype = ctypes.c_int
-            if lib.tsn_version() != 2:
+            if lib.tsn_version() != 3:
                 continue
             _configure(lib)
             _LIB = lib
@@ -85,6 +85,17 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.tsn_rescore.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.tsn_synth_fill.restype = None
+    lib.tsn_synth_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_long, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int,
+    ]
+    lib.tsn_synth_rescore.restype = None
+    lib.tsn_synth_rescore.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_void_p,
     ]
     lib.tsn_smiles_fingerprint.restype = ctypes.c_long
@@ -204,6 +215,62 @@ def rescore(
     out = np.empty(len(rows), dtype=np.float32)
     lib.tsn_rescore(
         _as_void(words), w, _as_void(rows), len(rows), _as_void(query),
+        qpop, alpha, beta, 1 if tversky else 0, _as_void(out),
+    )
+    return out
+
+
+def synth_fill(
+    n_rows: int,
+    word_count: int = 32,
+    seed: int = 0,
+    row0: int = 0,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize virtual-library rows (``utils/synth.py`` mixer) in bulk.
+
+    Bit-identical to ``synth.virtual_rows_np`` but ~an order of magnitude
+    faster — the benchmark's fold mode uses it to hold the full-width
+    matrix in host RAM so the exact rescore runs the production
+    :func:`rescore` path instead of re-deriving rows in numpy.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    if out is None:
+        out = np.empty((n_rows, word_count), dtype=np.uint32)
+    if out.dtype != np.uint32 or not out.flags.c_contiguous:
+        raise ValueError("out must be C-contiguous uint32")
+    lib.tsn_synth_fill(_as_void(out), row0, n_rows, word_count, seed, 0)
+    return out
+
+
+def synth_rescore(
+    rows: np.ndarray,
+    query: np.ndarray,
+    seed: int = 0,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    tversky: bool = False,
+) -> np.ndarray:
+    """Exact scores of virtual-library rows (by index) against one query.
+
+    The fold-benchmark's timed rescore: same scoring as :func:`rescore`
+    but candidate rows are recomputed from the ``utils/synth.py`` mixer
+    instead of read from a host matrix. Pass ``rows`` index-sorted so the
+    native cluster-core cache hits.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    query = np.ascontiguousarray(query, dtype=np.uint32)
+    from ..ops.scan import popcount_rows_np
+
+    qpop = int(popcount_rows_np(query[None, :])[0])
+    out = np.empty(len(rows), dtype=np.float32)
+    lib.tsn_synth_rescore(
+        _as_void(rows), len(rows), _as_void(query), len(query), seed,
         qpop, alpha, beta, 1 if tversky else 0, _as_void(out),
     )
     return out

@@ -104,13 +104,31 @@ def _strings_format_version(strings_meta: dict) -> int:
 def _swap_into_place(tmp: Path, path: Path, overwrite: bool) -> None:
     """Rename ``tmp`` onto ``path``; with ``overwrite``, swap the existing
     target aside first and remove it only after the new one is in place —
-    the old database survives any failure before this point."""
+    the old database survives any failure before this point.
+
+    The window between the two renames is brief but non-atomic: a concurrent
+    reader opening ``path`` exactly then sees ENOENT (a directory cannot be
+    atomically replaced by rename on Linux). Serving processes keep their
+    already-open memory maps either way.
+    """
     import shutil
 
     if path.exists():
         if not overwrite:
             raise FileExistsError(f"{path} already exists")
+        # sweep stale .old.* leftovers from crashed earlier runs first: pid
+        # reuse could otherwise make the aside name collide (renaming onto
+        # an existing non-empty directory raises and aborts the overwrite)
+        for stale in path.parent.glob(path.name + ".old.*"):
+            if stale.is_dir():
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                stale.unlink(missing_ok=True)
         old = path.with_name(path.name + f".old.{os.getpid()}")
+        seq = 0
+        while old.exists():  # sweep couldn't remove it (e.g. perms): step past
+            seq += 1
+            old = path.with_name(path.name + f".old.{os.getpid()}.{seq}")
         path.rename(old)
         try:
             tmp.rename(path)
@@ -164,7 +182,9 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
     path = Path(path)
     meta = json.loads((path / "meta.json").read_text())
     version = meta.get("format_version")
-    if not isinstance(version, int) or not 1 <= version <= MAX_FORMAT_VERSION:
+    # type() check, not isinstance: JSON `true` parses to Python True, an
+    # int subclass equal to 1 — a corrupt meta.json must error, not load as v1
+    if type(version) is not int or not 1 <= version <= MAX_FORMAT_VERSION:
         raise ValueError(f"unsupported .tfsim format version {version}")
     mode = "r" if mmap else None
     fingerprints = np.load(path / "fingerprints.npy", mmap_mode=mode)

@@ -192,6 +192,127 @@ void tsn_rescore(const uint32_t* words, int w, const int64_t* rows,
     }
 }
 
-int tsn_version() { return 2; }
+// ---- virtual benchmark libraries (utils/synth.py) --------------------------
+// lowbias32 mixer; MUST stay op-for-op identical to synth._mix32 so host,
+// device, and native materializations of a virtual library are bit-identical
+// (pinned by tests/test_synth.py + test_native.py).
+static inline uint32_t tsn_mix32(uint32_t h) {
+    h ^= h >> 16;
+    h *= 0x7feb352dU;
+    h ^= h >> 15;
+    h *= 0x846ca68bU;
+    return h ^ (h >> 16);
+}
+
+// Virtual clustered rows (see utils/synth.py::_virtual_words /
+// _combine_words — the implementations MUST stay draw-for-draw identical).
+// Per word w of row i (cluster c = i >> 8): draws a/b = mix32(h + {2w,
+// 2w+1} * GOLD) over per-row/per-cluster bases combine as
+//   core  = ca & ror7(ca) & ror15(ca) & cb & ror11(cb)   (~3.1%)
+//   keep  = ra | ror13(ra)                                (75%)
+//   indiv = rb & ror3 & ror6 & ror12 & ror17 & ror24(rb)  (~1.6%)
+//   word  = (core & keep) | indiv                         (~4% density)
+static inline uint32_t tsn_ror(uint32_t x, int r) {
+    return (x >> r) | (x << (32 - r));
+}
+
+static inline uint32_t tsn_core_word(uint32_t ca, uint32_t cb) {
+    return ca & tsn_ror(ca, 7) & tsn_ror(ca, 15) & cb & tsn_ror(cb, 11);
+}
+
+static inline uint32_t tsn_row_word(uint32_t core, uint32_t ra, uint32_t rb) {
+    uint32_t keep = ra | tsn_ror(ra, 13);
+    uint32_t indiv = rb & tsn_ror(rb, 3) & tsn_ror(rb, 6) & tsn_ror(rb, 12)
+                     & tsn_ror(rb, 17) & tsn_ror(rb, 24);
+    return (core & keep) | indiv;
+}
+
+namespace {
+// Per-thread cluster-core cache: a cluster's 256 consecutive rows (and the
+// index-sorted candidate sweeps of the rescore) reuse the 2-draw core.
+struct CoreCache {
+    std::vector<uint32_t> core;
+    uint32_t cluster = 0;
+    bool valid = false;
+
+    const uint32_t* get(uint32_t c, int word_count, uint32_t s_clu,
+                        const uint32_t* offp) {
+        if (!valid || cluster != c ||
+            core.size() != static_cast<size_t>(word_count)) {
+            cluster = c;
+            valid = true;
+            core.resize(word_count);
+            const uint32_t hc = tsn_mix32(c ^ s_clu);
+            for (int w = 0; w < word_count; ++w)
+                core[w] = tsn_core_word(tsn_mix32(hc + offp[2 * w]),
+                                        tsn_mix32(hc + offp[2 * w + 1]));
+        }
+        return core.data();
+    }
+};
+}  // namespace
+
+// Fill out = uint32[n_rows][word_count] with virtual rows [row0, row0+n).
+// Row indices must stay below 2^32 (uint32 counter).
+void tsn_synth_fill(uint32_t* out, uint64_t row0, long n_rows, int word_count,
+                    uint32_t seed, int n_threads) {
+    const uint32_t gold = 0x9E3779B9U;
+    const uint32_t s_row = seed * gold + 0x85EBCA6BU;
+    const uint32_t s_clu = seed * gold + 0xC2B2AE35U;
+    const int nd = word_count * 2;
+    std::vector<uint32_t> off(nd);
+    for (int j = 0; j < nd; ++j) off[j] = static_cast<uint32_t>(j) * gold;
+    const uint32_t* offp = off.data();
+    parallel_for(n_rows, n_threads, [&](long i) {
+        thread_local CoreCache cache;
+        const uint32_t iu = static_cast<uint32_t>(row0 + i);
+        const uint32_t* core = cache.get(iu >> 8, word_count, s_clu, offp);
+        const uint32_t hr = tsn_mix32(iu ^ s_row);
+        uint32_t* row = out + i * word_count;
+        for (int w = 0; w < word_count; ++w)
+            row[w] = tsn_row_word(core[w], tsn_mix32(hr + offp[2 * w]),
+                                  tsn_mix32(hr + offp[2 * w + 1]));
+    });
+}
+
+// Exact re-score of virtual-library candidate rows against one query: the
+// fold-bench's timed rescore path. Identical scoring to tsn_rescore but the
+// candidate rows are recomputed from the mixer instead of read from RAM
+// (rows should arrive index-sorted so the cluster-core cache hits).
+void tsn_synth_rescore(const int64_t* rows, long n_rows,
+                       const uint32_t* query, int word_count, uint32_t seed,
+                       int query_pop, double alpha, double beta, int tversky,
+                       float* out_scores) {
+    const uint32_t gold = 0x9E3779B9U;
+    const uint32_t s_row = seed * gold + 0x85EBCA6BU;
+    const uint32_t s_clu = seed * gold + 0xC2B2AE35U;
+    const int nd = word_count * 2;
+    std::vector<uint32_t> off(nd);
+    for (int j = 0; j < nd; ++j) off[j] = static_cast<uint32_t>(j) * gold;
+    const uint32_t* offp = off.data();
+    CoreCache cache;
+    for (long i = 0; i < n_rows; ++i) {
+        const uint32_t iu = static_cast<uint32_t>(rows[i]);
+        const uint32_t* core = cache.get(iu >> 8, word_count, s_clu, offp);
+        const uint32_t hr = tsn_mix32(iu ^ s_row);
+        int common = 0, rpop = 0;
+        for (int w = 0; w < word_count; ++w) {
+            uint32_t word = tsn_row_word(
+                core[w], tsn_mix32(hr + offp[2 * w]),
+                tsn_mix32(hr + offp[2 * w + 1]));
+            common += __builtin_popcount(word & query[w]);
+            rpop += __builtin_popcount(word);
+        }
+        double denom;
+        if (tversky) {
+            denom = alpha * (query_pop - common) + beta * (rpop - common) + common;
+        } else {
+            denom = double(query_pop) + double(rpop) - double(common);
+        }
+        out_scores[i] = denom > 0 ? static_cast<float>(common / denom) : 0.0f;
+    }
+}
+
+int tsn_version() { return 3; }
 
 }  // extern "C"

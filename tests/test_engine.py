@@ -443,6 +443,17 @@ class TestKBucketPromotion:
         r2 = db.search(q, k=5, dbkey="promo")
         assert (r2.scores, r2.ids) == (r.scores, r.ids)
 
+        # the pin survives a LATER warmup compiling the exact bucket: a
+        # re-warm used to flip serving onto the exact program, changing
+        # result sets mid-lifetime (round-3 advisor finding)
+        db.warmup(ks=(5,))  # compiles the exact 128 fetch bucket
+        assert (128, 1, "tanimoto", 0) in db._search_fns
+        fn_after, missing_after = db._get_search_fn_serving(128, 1, "tanimoto")
+        assert missing_after is None
+        assert fn_after is db._search_fns[(512, 1, "tanimoto", 0)]
+        r3 = db.search(q, k=5, dbkey="promo")
+        assert (r3.scores, r3.ids) == (r.scores, r.ids)
+
     def test_no_larger_bucket_compiles_inline(self, rng):
         data = random_fingerprint_data(rng, count=2048, dbkey="promo2")
         db = FingerprintDB(data)
