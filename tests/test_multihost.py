@@ -345,6 +345,115 @@ def test_two_process_server_stack(tmp_path):
         )
 
 
+def test_eight_process_server_stack(tmp_path):
+    """Pod-slice-shaped serving: EIGHT ``cli.server`` processes x 1 CPU
+    device each (the v5e-8 topology is 8 hosts x 1 chip), one HTTP query
+    to process 0. 2-process tests cannot catch fan-in and span bugs that
+    only appear at >2 (``multihost.process_row_span`` contiguity, the
+    ``resolve_strings_many`` all-gather fan-in, broadcast lockstep across
+    7 workers) — round-3 review item 5. Slow (~5 min on the 1-core CI
+    host): 8 jax runtimes boot serially."""
+    import json
+    import time
+    import urllib.request
+
+    nprocs = 8
+    env = _clean_env()
+    db_path = tmp_path / "mh8.tfsim"
+    packed_path = tmp_path / "packed8.npy"
+    builder = tmp_path / "build_db8.py"
+    builder.write_text(SERVER_DB_BUILDER)
+    subprocess.run(
+        [sys.executable, str(builder), str(db_path), str(packed_path)],
+        check=True, env={**env, "JAX_PLATFORMS": "cpu"},
+    )
+    packed = np.load(packed_path)
+    n = packed.shape[0]
+
+    coord_port = _free_port()
+    http_port = _free_port()
+    worker_env = dict(
+        env,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1 "
+        "--xla_cpu_enable_fast_math=false",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "gpusimilarity_tpu.cli.server",
+                str(db_path), "--cpu_only", "--port", str(http_port),
+                "--coordinator", f"localhost:{coord_port}",
+                "--num_processes", str(nprocs), "--process_id", str(pid),
+                "--no_warmup", "--jax_cache_dir", "",
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=worker_env, text=True,
+        )
+        for pid in range(nprocs)
+    ]
+    try:
+        deadline = time.monotonic() + 900
+        result = None
+        # query row on the LAST process's span: its id/smiles resolution
+        # must fan in across all 8 processes
+        qi = n - 5
+        q_hex = packed[qi].tobytes().hex()
+        body = (
+            f"fp_hex={q_hex}&return_count=5&similarity_cutoff=0"
+            f"&dbnames=mh8&dbkeys=mh"
+        ).encode()
+        while time.monotonic() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(2)
+            try:
+                with urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://localhost:{http_port}/similarity_search_json",
+                        data=body,
+                    ),
+                    timeout=30,
+                ) as resp:
+                    result = json.loads(resp.read())
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                continue
+        assert result is not None, "server never answered"
+    finally:
+        outs = []
+        for p in procs:
+            p.terminate()
+            try:
+                out, _ = p.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+
+    from gpusimilarity_tpu.ops.scan import scores_np
+
+    s = scores_np(packed.view(np.uint32).reshape(n, 32),
+                  packed[qi].view(np.uint32)[None, :])[0]
+    order = np.lexsort((np.arange(n), -s))[:5]
+    assert result["results"][0][0] == f"ID{qi:05d}", outs[0][-2000:]
+    assert result["results"][0][2] == 1.0
+    got_ids = [r[0] for r in result["results"]]
+    assert got_ids == [f"ID{i:05d}" for i in order], (got_ids, outs[0][-2000:])
+    assert result["approximate_count"] == n
+
+    # every process fed only its 1/8 span of fingerprint bytes
+    full_bytes = packed.nbytes
+    for pid, out in enumerate(outs):
+        import re
+
+        m = re.search(r"fed (\d+) fp bytes", out)
+        assert m, f"proc {pid} missing feed log:\n{out[-3000:]}"
+        assert int(m.group(1)) <= full_bytes // nprocs + 512 * 128, (
+            pid, m.group(1), full_bytes,
+        )
+
+
 # ------------------------------------------------- controller unit tests
 # (single-process: broadcast_one_to_all degenerates to identity, which is
 # enough to pin the lifecycle/shape logic without a 2-process mesh)

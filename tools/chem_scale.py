@@ -1,0 +1,173 @@
+"""Millions-of-rows chemistry build: prove the L4 pipeline at scale.
+
+The reference's build path is engineered for 1B molecules
+(``gpusim_createdb.py:103-147``: ipyparallel fan-out + 1 GiB chunk
+rollover); this repo's ``cli/createdb.py`` had only ever processed
+fixture-scale inputs (round-3 review, "What's missing" #3). This tool:
+
+1. writes a ``--rows`` (default 5M) line ``.smi.gz`` corpus of VALID,
+   Morgan-diverse SMILES (combinatorial scaffold x substituent
+   enumeration — real parser + Morgan work, not bit synthesis);
+2. runs ``python -m gpusimilarity_tpu.cli.createdb corpus.smi.gz
+   lib.tfsim`` as a subprocess, recording wall time, mol/s, and peak RSS
+   (``/proc/<pid>/status`` VmHWM of the build process tree);
+3. loads the built library and verifies: row count, and exact self-match
+   (score 1.0, query id among the top hits) for sampled rows through a
+   CPU ``FingerprintDB``.
+
+Prints one JSON line. Runs entirely on CPU.
+
+Usage: python tools/chem_scale.py [--rows N] [--dir PATH] [--keep]
+"""
+
+import argparse
+import gzip
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# substituent chain units (all valid as mid-chain SMILES tokens) and ring
+# cores with one parenthesized attachment point and one tail position
+UNITS = [
+    "C", "CC", "O", "N", "CCC", "C(C)", "C(N)C", "C(O)C", "S", "CCO",
+    "C(C)C", "CN", "CO", "CCN", "C(C)(C)C", "OC",
+]
+CORES = [
+    "c1ccc({sub})cc1",          # benzene, para
+    "c1ccc({sub})cn1",          # pyridine
+    "c1cc({sub})ccc1O",         # phenol
+    "C1CCC({sub})CC1",          # cyclohexane
+    "c1cc({sub})cs1",           # thiophene
+    "c1cc({sub})c[nH]1",        # pyrrole
+    "c1ccc2cc({sub})ccc2c1",    # naphthalene
+    "C1CCN({sub})CC1",          # piperidine (N-attached)
+]
+
+
+def chain(i: int, max_units: int = 4) -> str:
+    """Deterministic substituent chain from an integer (>= 1 unit)."""
+    n = 1 + (i % max_units)
+    parts = []
+    v = i // max_units
+    for _ in range(n):
+        parts.append(UNITS[v % len(UNITS)])
+        v //= len(UNITS)
+    return "".join(parts)
+
+
+def smiles_for(i: int) -> str:
+    core = CORES[i % len(CORES)]
+    j = i // len(CORES)
+    pre = chain(j & 0xFFFF)
+    sub = chain((j >> 16) ^ (j & 0xFFFF) ^ 0x2A5)
+    return pre + core.format(sub=sub)
+
+
+def write_corpus(path: Path, rows: int) -> None:
+    t0 = time.monotonic()
+    with gzip.open(path, "wt", compresslevel=1) as f:
+        for i in range(rows):
+            f.write(f"{smiles_for(i)} MOL{i:08d}\n")
+            if i % 500_000 == 0:
+                print(f"  corpus {i/rows:5.1%}", file=sys.stderr, flush=True)
+    print(f"corpus: {rows:,} rows in {time.monotonic()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+
+def peak_rss_kib(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument("--dir", default="/tmp/tpusim_chem_scale")
+    ap.add_argument("--workers", type=int, default=0)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--sample", type=int, default=8)
+    args = ap.parse_args()
+
+    base = Path(args.dir)
+    base.mkdir(parents=True, exist_ok=True)
+    corpus = base / f"corpus_{args.rows}.smi.gz"
+    lib = base / f"lib_{args.rows}.tfsim"
+    if not corpus.exists():
+        write_corpus(corpus, args.rows)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    t0 = time.monotonic()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "gpusimilarity_tpu.cli.createdb",
+            str(corpus), str(lib), "--dbkey", "bulk", "--force",
+            "--workers", str(args.workers),
+        ],
+        env=env, stderr=subprocess.PIPE, text=True,
+    )
+    peak = 0
+    tail: list[str] = []
+    for line in proc.stderr:
+        tail.append(line.rstrip()[:200])
+        tail = tail[-5:]
+        peak = max(peak, peak_rss_kib(proc.pid))
+    proc.wait()
+    build_s = time.monotonic() - t0
+    if proc.returncode != 0:
+        print("\n".join(tail), file=sys.stderr)
+        raise SystemExit(f"createdb failed rc={proc.returncode}")
+
+    # verify through the engine on CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from gpusimilarity_tpu.models.fingerprint_db import FingerprintDB
+    from gpusimilarity_tpu.utils.tfsim import load_native
+
+    data = load_native(lib)
+    assert data.count == args.rows, (data.count, args.rows)
+    db = FingerprintDB(data)
+    rng = np.random.default_rng(5)
+    ok = 0
+    words = data.packed_words()
+    for qi in rng.choice(args.rows, size=args.sample, replace=False):
+        r = db.search(np.array(words[qi]), k=5, dbkey="bulk")
+        ids = ";".join(r.ids)  # duplicate-SMILES rows join their ids
+        if r.scores[0] == 1.0 and f"MOL{qi:08d}" in ids:
+            ok += 1
+    print(
+        json.dumps(
+            {
+                "metric": "createdb_mols_per_sec",
+                "value": round(args.rows / build_s, 1),
+                "unit": "mol/s",
+                "rows": args.rows,
+                "build_s": round(build_s, 1),
+                "peak_rss_mib": round(peak / 1024, 1),
+                "library_mib": round(
+                    sum(p.stat().st_size for p in lib.rglob("*")) / 2**20, 1
+                ),
+                "self_match": f"{ok}/{args.sample}",
+            }
+        )
+    )
+    assert ok == args.sample, "self-match verification failed"
+    if not args.keep:
+        os.remove(corpus)
+
+
+if __name__ == "__main__":
+    main()
