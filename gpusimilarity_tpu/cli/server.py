@@ -81,6 +81,13 @@ def parse_args(argv=None):
         "first burst pays a live compile). 1 = single-query shapes only",
     )
     parser.add_argument(
+        "--warmup_ks", default="20,128",
+        help="comma-separated return_count values to precompile (each "
+        "distinct k-fetch bucket is its own multi-minute remote XLA "
+        "compile; requests above the warmed maximum pay a live compile, "
+        "smaller ks are served via k-bucket promotion)",
+    )
+    parser.add_argument(
         "--jax_profiler_port", default=0, type=int,
         help="start the JAX profiler server (TensorBoard-attachable) on this port",
     )
@@ -130,15 +137,22 @@ def main(argv=None):
     from ..models.registry import DatabaseRegistry
     from ..serve.server import SimilarityServer
 
+    warmup_ks = tuple(
+        int(k) for k in str(args.warmup_ks).split(",") if k.strip()
+    )
     # "auto" scan mode resolves inside the registry, AFTER the global fold
     # factor is known (an auto memory-based fold > 1 must pick dense too,
-    # not just an explicit --fold; see models/registry.resolve_scan_mode)
+    # not just an explicit --fold; see models/registry.resolve_scan_mode).
+    # With warmup on, the warmup shapes AOT-precompile on background threads
+    # WHILE each library streams/folds/uploads (overlapped startup).
     registry = DatabaseRegistry.from_fsim_files(
         args.dbnames,
         device_bitcount=args.device_bitcount,
         fold_factor=args.fold,
         scan_mode=args.scan_mode,
         use_pallas=args.pallas,
+        precompile_ks=None if args.no_warmup else warmup_ks,
+        precompile_batch=min(args.warmup_batch, args.max_batch),
     )
     # multi-host serving: every process loads (its span of) the library and
     # runs warmup in lockstep; process 0 serves HTTP and fans each request
@@ -150,7 +164,7 @@ def main(argv=None):
         controller = MultihostController(registry, max_batch=args.max_batch)
     if not args.no_warmup:
         registry.warmup(
-            max_batch=min(args.warmup_batch, args.max_batch)
+            ks=warmup_ks, max_batch=min(args.warmup_batch, args.max_batch)
         )
     if controller is not None and jax.process_index() != 0:
         for name, db in registry._dbs.items():

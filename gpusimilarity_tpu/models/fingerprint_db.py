@@ -75,13 +75,20 @@ class FingerprintDB:
         keep_full_on_host: bool = True,
         scan_mode: str = "dense",
         use_pallas: bool = False,
+        defer_upload: bool = False,
     ):
         """``scan_mode``: ``"dense"`` scans every packed word per query (the
         word-planar kernel); ``"bitplane"`` stores the library bit-transposed
         and reads only the query's set-bit planes — lower single-query
         latency for sparse fingerprints like Morgan (see ``ops/bitplane.py``);
         dense batches better. ``use_pallas`` routes the dense phase-1 scan
-        through the hand-written Pallas TPU kernel."""
+        through the hand-written Pallas TPU kernel.
+
+        ``defer_upload=True`` records metadata only; the caller then runs
+        :meth:`start_precompile` (AOT compiles from geometry) concurrently
+        with :meth:`upload` (the heavy read/fold/transfer) — the startup-
+        overlap path used by :meth:`DatabaseRegistry.from_fsim_files`.
+        Single-process only: multi-host compiles must run in lockstep."""
         data.validate()
         if scan_mode not in ("dense", "bitplane"):
             raise ValueError(f"unknown scan_mode {scan_mode!r}")
@@ -99,6 +106,8 @@ class FingerprintDB:
         full = data.packed_words()
         self._full_words = full if keep_full_on_host else None
         self.word_count = full.shape[1]
+        self._chunk_cols = chunk_cols
+        self._data = data
 
         if fold_factor == "auto":
             fold_factor = auto_fold_factor(full.nbytes)
@@ -118,50 +127,12 @@ class FingerprintDB:
         # fp bytes this process actually read to build the device store —
         # multi-host tests assert no process materializes the full library
         self.loaded_fp_bytes: int | None = None
-        if self._multihost:
-            if scan_mode == "bitplane":
-                raise NotImplementedError(
-                    "multi-host serving supports the dense scan mode only "
-                    "(auto mode resolves to dense when process_count > 1; "
-                    "beyond-HBM multi-host libraries fold, which picks "
-                    "dense anyway)"
-                )
-            # per-process feed: each host reads/folds/transposes ONLY the
-            # rows its local devices own, straight from the (typically
-            # memory-mapped) full matrix
-            self._store, self.loaded_fp_bytes = sharded.build_store_multihost(
-                full,
-                mesh=self._mesh,
-                chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
-                fold_factor=fold_factor,
-            )
-            self._shard_host_strings(data)
-        elif scan_mode == "bitplane":
-            device_rows = fold_ops.fold_words(full, fold_factor)
-            self._store = sharded.build_bitplane_store(
-                device_rows,
-                mesh=self._mesh,
-                chunk_cols=chunk_cols or sharded.BITPLANE_CHUNK_COLS,
-                with_pops3=use_pallas,
-            )
-        else:
-            device_rows = fold_ops.fold_words(full, fold_factor)
-            self._store = sharded.build_store(
-                device_rows,
-                mesh=self._mesh,
-                chunk_cols=chunk_cols or sharded.DEFAULT_CHUNK_COLS,
-            )
-        from ..utils.strings import mmap_backing
-
-        # gate on the base-chain walk, not isinstance: load paths hand the
-        # engine VIEWS of the mapped file (slices, dtype views), which
-        # downcast np.memmap to ndarray — a bare isinstance would silently
-        # skip the prewarm and reintroduce 2-3 s/query cold-fault rescans
-        if fold_factor > 1 and mmap_backing(data.fingerprints) is not None:
-            # folded + memory-mapped: the exact rescore will fault this
-            # file's pages at serve time — heal the cache the upload
-            # pass just partially evicted (see _prewarm_rescore_pages)
-            self._prewarm_rescore_pages()
+        self._store = None
+        # serving gate: set once the library is device-resident; a search
+        # arriving while a deferred upload is still streaming waits here
+        self._ready = threading.Event()
+        self._prewarm_thread: threading.Thread | None = None
+        self._precompile_thread: threading.Thread | None = None
         self._search_fns: dict = {}
         # fold>1 determinism pins: exact k-fetch key -> the larger compiled
         # bucket it was promoted to; consulted BEFORE _search_fns so a later
@@ -181,6 +152,86 @@ class FingerprintDB:
         # distinct compiled search programs (bucketed batch x bucketed k x
         # similarity x plane bucket); /stats exposes the registry-wide sum
         self.compile_count = 0
+        # multi-host uploads cannot defer: every process must device_put in
+        # lockstep, and stray background compiles would desync the peers
+        if not defer_upload or self._multihost:
+            self.upload()
+
+    # ---------------------------------------------------------------- loading
+
+    def upload(self, async_prewarm: bool = False) -> None:
+        """Read/fold/transpose the library and upload it to the device mesh.
+
+        Runs inline from ``__init__`` unless ``defer_upload=True`` was
+        passed. ``async_prewarm=True`` runs the post-upload mmap page
+        prewarm on a background thread (join with :meth:`join_prewarm`) —
+        the server overlaps it with warmup executions; only the first few
+        live queries see cold rescore pages.
+        """
+        if self._ready.is_set():
+            return
+        data = self._data
+        full = data.packed_words()
+        import logging
+
+        log = logging.getLogger("tpusimilarity")
+        if self._multihost:
+            # per-process feed: each host reads/folds/transposes ONLY the
+            # rows its local devices own, straight from the (typically
+            # memory-mapped) full matrix
+            self._store, self.loaded_fp_bytes = sharded.build_store_multihost(
+                full,
+                mesh=self._mesh,
+                chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+                fold_factor=self.fold_factor,
+            )
+            self._shard_host_strings(data)
+        elif self.scan_mode == "bitplane":
+            device_rows = fold_ops.fold_words(full, self.fold_factor)
+            self._store = sharded.build_bitplane_store(
+                device_rows,
+                mesh=self._mesh,
+                chunk_cols=self._chunk_cols or sharded.BITPLANE_CHUNK_COLS,
+                with_pops3=self.use_pallas,
+            )
+        else:
+            # fold-on-the-fly slab streaming: the full-width mmap is read
+            # once and the folded intermediate is never materialized whole
+            self._store = sharded.build_store(
+                full,
+                mesh=self._mesh,
+                chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+                fold_factor=self.fold_factor,
+            )
+        from ..utils.strings import mmap_backing
+
+        # gate on the base-chain walk, not isinstance: load paths hand the
+        # engine VIEWS of the mapped file (slices, dtype views), which
+        # downcast np.memmap to ndarray — a bare isinstance would silently
+        # skip the prewarm and reintroduce 2-3 s/query cold-fault rescans
+        if self.fold_factor > 1 and mmap_backing(data.fingerprints) is not None:
+            # folded + memory-mapped: the exact rescore will fault this
+            # file's pages at serve time — heal the cache the upload
+            # pass just partially evicted (see _prewarm_rescore_pages)
+            if async_prewarm:
+                self._prewarm_thread = threading.Thread(
+                    target=self._prewarm_rescore_pages,
+                    name="tpusim-prewarm",
+                    daemon=True,
+                )
+                self._ready.set()  # serve while pages warm in the background
+                self._prewarm_thread.start()
+            else:
+                self._prewarm_rescore_pages()
+        else:
+            log.info("rescore prewarm not needed (unfolded or RAM-backed)")
+        self._ready.set()
+
+    def join_prewarm(self) -> None:
+        """Block until the background rescore-page prewarm finishes."""
+        t = self._prewarm_thread
+        if t is not None:
+            t.join()
 
     def _prewarm_rescore_pages(self) -> None:
         """Re-touch the memory-mapped full-width matrix after a folded
@@ -196,6 +247,9 @@ class FingerprintDB:
         """
         import time
 
+        import logging
+
+        log = logging.getLogger("tpusimilarity")
         fp = self._full_words
         row_bytes = fp.shape[1] * 4
         total = None
@@ -206,6 +260,7 @@ class FingerprintDB:
                         total = int(line.split()[1]) * 1024
                         break
         except (ValueError, OSError):
+            log.info("rescore prewarm skipped (no /proc/meminfo)")
             return
         from ..utils.strings import mmap_backing
 
@@ -227,7 +282,12 @@ class FingerprintDB:
         # MemAvailable lie about the serve-time picture, where the maps are
         # the only big residents
         if total is None or nbytes > total * 0.85:
-            return  # cannot stay resident; a warm pass would just thrash
+            # cannot stay resident; a warm pass would just thrash
+            log.info(
+                "rescore prewarm skipped (%d GiB of maps exceeds 85%% of RAM)",
+                nbytes >> 30,
+            )
+            return
         t0 = time.monotonic()
         rows_per_page = max(1, 4096 // row_bytes)
         step = max(1, (64 << 20) // row_bytes)  # 64 MB of rows per slab
@@ -244,9 +304,7 @@ class FingerprintDB:
             for lo in range(0, flat.size, 64 << 20):
                 hi = min(lo + (64 << 20), flat.size)
                 flat[lo:hi:4096].max()
-        import logging
-
-        logging.getLogger("tpusimilarity").info(
+        log.info(
             "prewarmed %d GiB of rescore pages in %.1fs",
             nbytes >> 30, time.monotonic() - t0,
         )
@@ -340,20 +398,117 @@ class FingerprintDB:
         with lock:
             fn = self._search_fns.get(key)
             if fn is None:
+                # pre-upload (AOT precompile) the store is geometry-only:
+                # the builder lowers+compiles from shapes and the returned
+                # callable late-binds the live arrays via the store_ref
+                store = self._store if self._store is not None else (
+                    self._geometry_store()
+                )
                 if self.scan_mode == "bitplane":
                     fn = sharded.build_bitplane_search_fn(
-                        self._store, k_fetch, similarity, batch, plane_bucket,
+                        store, k_fetch, similarity, batch, plane_bucket,
                         use_pallas=self.use_pallas,
+                        store_ref=lambda: self._store,
                     )
                 else:
                     fn = sharded.build_search_fn(
-                        self._store, k_fetch, similarity, batch,
+                        store, k_fetch, similarity, batch,
                         use_pallas=self.use_pallas,
+                        store_ref=lambda: self._store,
                     )
                 self._search_fns[key] = fn
                 with self._fn_locks_guard:
                     self.compile_count += 1
         return fn
+
+    def _geometry_store(self):
+        """Shape-only store with the exact layout :meth:`upload` will build
+        (shared planning code) — the AOT precompile target."""
+        wf = self.word_count // self.fold_factor
+        if self.scan_mode == "bitplane":
+            return sharded.shape_only_bitplane_store(
+                self._count, wf, mesh=self._mesh,
+                chunk_cols=self._chunk_cols or sharded.BITPLANE_CHUNK_COLS,
+                with_pops3=self.use_pallas,
+            )
+        return sharded.shape_only_store(
+            self._count, wf, mesh=self._mesh,
+            chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+        )
+
+    def precompile(
+        self, ks: Sequence[int] = (20, 128), max_batch: int = 1,
+        similarity: str = TANIMOTO,
+    ) -> None:
+        """AOT-compile the warmup search shapes from geometry alone.
+
+        Safe to run BEFORE (or concurrently with) :meth:`upload`: programs
+        are lowered against a shape-only store and late-bind the device
+        arrays at call time, letting a server overlap its multi-minute
+        remote XLA compiles with the equally long library load/upload
+        instead of paying them back to back. Compiles the same key set
+        :meth:`warmup` would execute.
+        """
+        if self.count == 0:
+            return
+        batches = [1]
+        for bucket in _BATCH_BUCKETS[1:]:
+            if bucket <= max_batch:
+                batches.append(bucket)
+        if self.scan_mode == "bitplane":
+            from ..ops.bitplane import plane_bucket_for
+
+            w = self.device_bitcount
+            buckets = set()
+            for q in self._warmup_queries():
+                folded = fold_ops.fold_words(q[None, :], self.fold_factor)
+                buckets.add(
+                    plane_bucket_for(int(popcount_rows_np(folded)[0]), w)
+                )
+        else:
+            buckets = {0}
+        for k in ks:
+            k_eff = min(int(k), self.count)
+            k_fetch = _k_bucket(
+                fold_ops.overfetch_count(k_eff, self.fold_factor), self.count
+            )
+            for b in batches:
+                for pb in sorted(buckets):
+                    self._get_search_fn(k_fetch, b, similarity, pb)
+
+    def start_precompile(
+        self, ks: Sequence[int] = (20, 128), max_batch: int = 1
+    ) -> None:
+        """Run :meth:`precompile` on a background thread (idempotent)."""
+        if self._precompile_thread is not None or self._multihost:
+            return
+
+        def task():
+            import logging
+            import time
+
+            t0 = time.monotonic()
+            try:
+                self.precompile(ks=tuple(ks), max_batch=max_batch)
+                logging.getLogger("tpusimilarity").info(
+                    "AOT-precompiled %d search programs in %.1fs",
+                    self.compile_count, time.monotonic() - t0,
+                )
+            except Exception:
+                logging.getLogger("tpusimilarity").exception(
+                    "AOT precompile failed; first queries pay live compiles"
+                )
+
+        self._precompile_thread = threading.Thread(
+            target=task, name="tpusim-precompile", daemon=True
+        )
+        self._precompile_thread.start()
+
+    def join_precompile(self) -> None:
+        """Block until a background :meth:`start_precompile` finishes."""
+        t = self._precompile_thread
+        if t is not None:
+            t.join()
 
     def _get_search_fn_serving(
         self, k_fetch: int, batch: int, similarity: str, plane_bucket: int = 0
@@ -539,6 +694,10 @@ class FingerprintDB:
         """
         if self.count == 0:
             return
+        # a background AOT precompile (startup overlap) covers the same key
+        # set — wait for it so the executions below run compile-free and so
+        # both threads never race the same per-key lock for minutes
+        self.join_precompile()
         batches = [1]
         for bucket in _BATCH_BUCKETS[1:]:
             if bucket <= max_batch:
@@ -606,6 +765,8 @@ class FingerprintDB:
             return [SearchResult() for _ in range(b)]
         if self.count == 0:
             return [SearchResult() for _ in range(b)]
+        # deferred-upload startup: block until the library is device-resident
+        self._ready.wait()
 
         ks = np.minimum(ks, self.count)
         k_max = int(ks.max())

@@ -85,6 +85,8 @@ class DatabaseRegistry:
         fold_factor: Optional[int] = None,
         scan_mode: str = "dense",
         use_pallas: bool = False,
+        precompile_ks: Optional[Sequence[int]] = None,
+        precompile_batch: int = 1,
     ) -> "DatabaseRegistry":
         """Load ``.fsim`` files or native ``.tfsim`` directories; database
         names are file basenames (reference ``gpusim.cpp:114-116``).
@@ -97,6 +99,16 @@ class DatabaseRegistry:
         global fold factor is known, because the right mode depends on the
         effective fold (see :func:`resolve_scan_mode`) — a 20 GB library
         served with default flags must end up dense, not folded-bitplane.
+
+        ``precompile_ks`` enables the **overlapped startup** (single-process
+        only): for each database the warmup shapes AOT-compile on a
+        background thread from geometry alone while the library streams,
+        folds, and uploads in the foreground, and the post-upload mmap page
+        prewarm also runs in the background — the three long poles of a
+        cold start (measured 915 s load + 459 s compile back to back at
+        768M rows fold-8) run concurrently instead of sequentially. A
+        subsequent :meth:`warmup` joins the precompiles and executes each
+        shape once, compile-free.
         """
         from ..utils.tfsim import load_any
 
@@ -130,10 +142,33 @@ class DatabaseRegistry:
                 "auto scan mode resolved to %s%s (effective fold %d)",
                 scan_mode, " + pallas" if use_pallas else "", fold,
             )
+        overlap = precompile_ks is not None
+        if overlap:
+            import jax
+
+            # multi-host processes must compile+upload in lockstep
+            overlap = jax.process_count() == 1
         for name, data in datas:
             t0 = time.monotonic()
-            reg.add(name, data, fold_factor=fold, scan_mode=scan_mode, use_pallas=use_pallas)
-            log.info("uploaded %s to device mesh (%.2fs)", name, time.monotonic() - t0)
+            db = reg.add(
+                name, data, fold_factor=fold, scan_mode=scan_mode,
+                use_pallas=use_pallas, defer_upload=overlap,
+            )
+            if overlap:
+                db.start_precompile(
+                    ks=tuple(precompile_ks), max_batch=precompile_batch
+                )
+                db.upload(async_prewarm=True)
+                log.info(
+                    "uploaded %s to device mesh (%.2fs; AOT compiles and "
+                    "page prewarm continue in background)",
+                    name, time.monotonic() - t0,
+                )
+            else:
+                log.info(
+                    "uploaded %s to device mesh (%.2fs)",
+                    name, time.monotonic() - t0,
+                )
         return reg
 
     @staticmethod
@@ -170,15 +205,19 @@ class DatabaseRegistry:
         fold_factor: int | str = 1,
         scan_mode: str = "dense",
         use_pallas: bool = False,
-    ) -> None:
+        defer_upload: bool = False,
+    ) -> FingerprintDB:
         if name in self._dbs:
             # two paths sharing a basename would silently shadow half the
             # data (every query resolves names through this dict)
             raise ValueError(f"database name {name!r} already loaded")
-        self._dbs[name] = FingerprintDB(
+        db = FingerprintDB(
             data, mesh=self._mesh, fold_factor=fold_factor,
             scan_mode=scan_mode, use_pallas=use_pallas,
+            defer_upload=defer_upload,
         )
+        self._dbs[name] = db
+        return db
 
     # ----------------------------------------------------------------- access
 

@@ -119,29 +119,48 @@ def build_store(
     mesh: jax.sharding.Mesh | None = None,
     axis: str = SHARD_AXIS,
     chunk_cols: int = DEFAULT_CHUNK_COLS,
+    fold_factor: int = 1,
 ) -> ShardedStore:
     """Upload ``uint32[N, W]`` packed rows as a planar sharded store.
 
     Rows are padded at the tail so every shard holds the same number of
     columns and that number divides the chunk width; padded columns score
     -inf and are never selected. Original row index == device column index.
+
+    ``fold_factor > 1`` OR-folds rows on the fly while streaming them in
+    slabs (the same slab pipeline as the multi-host feed,
+    :func:`build_store_multihost`): the full-width source — typically a
+    ``.tfsim`` memory map several times larger than host RAM — is read
+    exactly once and the folded intermediate is never materialized whole,
+    so a 768M-row fold-8 load allocates ~12 GiB of planar output instead
+    of ~23 GiB of fold+transpose transients (which evict the page cache
+    the exact rescore needs right back, see
+    ``FingerprintDB._prewarm_rescore_pages``).
     """
+    from ..ops import fold as fold_ops
+
     n, w = packed_rows.shape
+    wf = w // fold_factor
     if mesh is None:
         mesh = make_mesh(axis=axis)
     n_shards = mesh.shape[axis]
 
     per_shard, chunk, n_padded = plan_store_layout(n, n_shards, chunk_cols)
 
-    try:
-        from ..utils import native
-
-        planar = native.transpose_planar(packed_rows, n_padded)
-    except ImportError:
-        planar = np.zeros((w, n_padded), dtype=np.uint32)
-        planar[:, :n] = packed_rows.T
+    planar = np.zeros((wf, n_padded), dtype=np.uint32)
     pops = np.zeros(n_padded, dtype=np.int16)
-    pops[:n] = popcount_rows_np(packed_rows)
+    slab = 1 << 21  # 2M rows x 128 B = 256 MB of source pages per slab
+    for s in range(0, n, slab):
+        e = min(s + slab, n)
+        rows = np.asarray(packed_rows[s:e])
+        folded = fold_ops.fold_words(rows, fold_factor)
+        try:
+            from ..utils import native
+
+            planar[:, s:e] = native.transpose_planar(folded, e - s)
+        except ImportError:
+            planar[:, s:e] = folded.T
+        pops[s:e] = popcount_rows_np(folded)
 
     words_sharding = NamedSharding(mesh, P(None, axis))
     pops_sharding = NamedSharding(mesh, P(axis))
@@ -239,6 +258,44 @@ def build_store_from_device(
     )
 
 
+def shape_only_store(
+    n: int,
+    word_count: int,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = DEFAULT_CHUNK_COLS,
+) -> ShardedStore:
+    """Geometry-only store: ``words``/``popcounts`` are
+    ``jax.ShapeDtypeStruct``s carrying the real shardings.
+
+    :func:`build_search_fn` detects it and compiles the search program
+    **ahead of time** from pure metadata — before any fingerprint data has
+    been read, folded, or uploaded. That is what lets a server overlap its
+    multi-minute remote XLA compiles with the multi-minute library
+    load/upload instead of paying them back to back (the reference has no
+    analogous problem: nvcc kernels are compiled at build time,
+    ``fingerprintdb_cuda.cu`` is one fixed program).
+    ``word_count`` is the ON-DEVICE (post-fold) word width.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+    per_shard, chunk, n_padded = plan_store_layout(n, n_shards, chunk_cols)
+    return ShardedStore(
+        mesh=mesh,
+        axis=axis,
+        words=jax.ShapeDtypeStruct(
+            (word_count, n_padded), np.uint32,
+            sharding=NamedSharding(mesh, P(None, axis)),
+        ),
+        popcounts=jax.ShapeDtypeStruct(
+            (n_padded,), np.int16, sharding=NamedSharding(mesh, P(axis)),
+        ),
+        n_valid=n,
+        chunk_cols=chunk,
+    )
+
+
 @dataclass(frozen=True)
 class BitplaneStore:
     """Bit-transposed fingerprints: one packed plane per bit position.
@@ -287,6 +344,67 @@ class BitplaneStore:
 BITPLANE_CHUNK_COLS = 1 << 21
 
 
+def plan_bitplane_layout(
+    n: int, n_shards: int, chunk_cols: int, with_pops3: bool
+) -> tuple[int, int]:
+    """Bitplane-store geometry: ``(chunk, n_padded)`` for ``n`` rows.
+
+    Shared by the upload path and :func:`shape_only_bitplane_store` — the
+    AOT precompile must agree on the padded layout without touching data.
+    """
+    per_shard = -(-max(n, 1) // n_shards)
+    # the Pallas phase-1 kernel needs each shard's sub-row width (m8s) to be
+    # a multiple of its 1024-word chunk: 262144 columns
+    align = 262144 if with_pops3 else 8192
+    chunk = min(chunk_cols, _round_up(per_shard, align))
+    # the chunk itself must be a multiple of the alignment: a caller-chosen
+    # unaligned chunk_cols would otherwise skew the sub-row interleave and
+    # silently skip tail columns in the chunked scan
+    chunk = max(align, (chunk // align) * align)
+    per_shard = _round_up(per_shard, chunk)
+    return chunk, per_shard * n_shards
+
+
+def shape_only_bitplane_store(
+    n: int,
+    word_count: int,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = BITPLANE_CHUNK_COLS,
+    with_pops3: bool = False,
+) -> BitplaneStore:
+    """Geometry-only bitplane store for AOT precompilation (the bitplane
+    counterpart of :func:`shape_only_store`). ``word_count`` is the
+    on-device (post-fold) word width."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+    bitcount = word_count * 32
+    chunk, n_padded = plan_bitplane_layout(n, n_shards, chunk_cols, with_pops3)
+    m8 = n_padded // 256
+    pops3 = None
+    if with_pops3:
+        pops3 = jax.ShapeDtypeStruct(
+            (32, 8, m8), np.int32,
+            sharding=NamedSharding(mesh, P(None, None, axis)),
+        )
+    return BitplaneStore(
+        mesh=mesh,
+        axis=axis,
+        planes=jax.ShapeDtypeStruct(
+            ((bitcount + 1) * 8, m8), np.uint32,
+            sharding=NamedSharding(mesh, P(None, axis)),
+        ),
+        popcounts=jax.ShapeDtypeStruct(
+            (n_padded,), np.int16, sharding=NamedSharding(mesh, P(axis)),
+        ),
+        n_valid=n,
+        chunk_cols=chunk,
+        bitcount=bitcount,
+        pops3=pops3,
+    )
+
+
 def build_bitplane_store(
     packed_rows: np.ndarray,
     mesh: jax.sharding.Mesh | None = None,
@@ -303,17 +421,7 @@ def build_bitplane_store(
         mesh = make_mesh(axis=axis)
     n_shards = mesh.shape[axis]
 
-    per_shard = -(-max(n, 1) // n_shards)
-    # the Pallas phase-1 kernel needs each shard's sub-row width (m8s) to be
-    # a multiple of its 1024-word chunk: 262144 columns
-    align = 262144 if with_pops3 else 8192
-    chunk = min(chunk_cols, _round_up(per_shard, align))
-    # the chunk itself must be a multiple of the alignment: a caller-chosen
-    # unaligned chunk_cols would otherwise skew the sub-row interleave and
-    # silently skip tail columns in the chunked scan
-    chunk = max(align, (chunk // align) * align)
-    per_shard = _round_up(per_shard, chunk)
-    n_padded = per_shard * n_shards
+    chunk, n_padded = plan_bitplane_layout(n, n_shards, chunk_cols, with_pops3)
 
     packed_bytes = np.ascontiguousarray(packed_rows).view(np.uint8)
     planes = build_bitplanes_np(packed_bytes, n_padded)
@@ -599,6 +707,7 @@ def build_search_fn(
     similarity: str,
     batch: int,
     use_pallas: bool = False,
+    store_ref: Callable[[], ShardedStore] | None = None,
 ) -> Callable:
     """Compile an SPMD search: ``(queries, qpops, cutoffs, alpha, beta) ->
     (values f32[B,k], indices i32[B,k], approx i32[B])``.
@@ -608,6 +717,12 @@ def build_search_fn(
     the caller drops sub-cutoff entries. Indices are global row indices into
     the original (unpadded) matrix; entries with value -inf (padding /
     k > matches) must be dropped by the caller.
+
+    When ``store`` is geometry-only (:func:`shape_only_store`), the program
+    is compiled **ahead of time** from shapes alone and the returned
+    callable reads the live arrays through ``store_ref`` at call time — the
+    startup-overlap path: compiles run concurrently with the library
+    load/upload.
     """
     mesh, axis = store.mesh, store.axis
     n_shard = store.n_padded // store.n_shards
@@ -650,6 +765,37 @@ def build_search_fn(
     )
 
     jitted = jax.jit(mapped)
+
+    if isinstance(store.words, jax.ShapeDtypeStruct):
+        rep = NamedSharding(mesh, P())
+        wf = store.word_count
+
+        def sds(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=rep)
+
+        compiled = jitted.lower(
+            store.words,
+            store.popcounts,
+            sds((batch, wf), np.uint32),   # folded queries
+            sds((batch,), np.int32),       # query popcounts
+            sds((batch,), np.float32),     # cutoffs
+            sds((), np.float32),           # alpha
+            sds((), np.float32),           # beta
+        ).compile()
+        get_store = store_ref if store_ref is not None else (lambda: store)
+
+        def search(queries, query_pops, cutoff, alpha, beta):
+            s = get_store()
+            # AOT executables take committed arrays with the exact compiled
+            # shardings; the per-call args are tiny (a few KB), so the
+            # explicit replicated device_put costs nothing next to the scan
+            small = [
+                jax.device_put(x, rep)
+                for x in (queries, query_pops, cutoff, alpha, beta)
+            ]
+            return compiled(s.words, s.popcounts, *small)
+
+        return search
 
     def search(queries, query_pops, cutoff, alpha, beta):
         # store arrays travel as jit arguments (not closure constants) so the
@@ -932,10 +1078,15 @@ def build_bitplane_search_fn(
     batch: int,
     plane_bucket: int,
     use_pallas: bool = False,
+    store_ref: Callable[[], BitplaneStore] | None = None,
 ) -> Callable:
     """Compile the sparse SPMD search: ``(plane_idx i32[B,P], qpops, cutoffs,
     alpha, beta) -> (values, indices, approx)`` — same contract as
-    :func:`build_search_fn` but queries travel as padded set-bit lists."""
+    :func:`build_search_fn` but queries travel as padded set-bit lists.
+
+    A geometry-only ``store`` (:func:`shape_only_bitplane_store`) compiles
+    ahead of time and late-binds the live arrays via ``store_ref`` — see
+    :func:`build_search_fn`."""
     mesh, axis = store.mesh, store.axis
     n_shard_cols = store.n_padded // store.n_shards
     chunk_cols = min(store.chunk_cols, n_shard_cols)
@@ -984,13 +1135,6 @@ def build_bitplane_search_fn(
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        jitted = jax.jit(mapped)
-
-        def search(plane_idx, query_pops, cutoff, alpha, beta):
-            return jitted(
-                store.planes, store.popcounts, store.pops3, plane_idx,
-                query_pops, cutoff, alpha, beta,
-            )
     else:
         mapped = _shard_map(
             spmd_no_pops3,
@@ -999,7 +1143,53 @@ def build_bitplane_search_fn(
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        jitted = jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    if isinstance(store.planes, jax.ShapeDtypeStruct):
+        rep = NamedSharding(mesh, P())
+        p_width = min(plane_bucket, store.bitcount)
+
+        def sds(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=rep)
+
+        small_sds = (
+            sds((batch, p_width), np.int32),  # padded set-bit plane lists
+            sds((batch,), np.int32),           # query popcounts
+            sds((batch,), np.float32),         # cutoffs
+            sds((), np.float32),               # alpha
+            sds((), np.float32),               # beta
+        )
+        store_sds = (
+            (store.planes, store.popcounts, store.pops3)
+            if use_pallas
+            else (store.planes, store.popcounts)
+        )
+        compiled = jitted.lower(*store_sds, *small_sds).compile()
+        get_store = store_ref if store_ref is not None else (lambda: store)
+
+        def search(plane_idx, query_pops, cutoff, alpha, beta):
+            s = get_store()
+            live = (
+                (s.planes, s.popcounts, s.pops3)
+                if use_pallas
+                else (s.planes, s.popcounts)
+            )
+            small = [
+                jax.device_put(x, rep)
+                for x in (plane_idx, query_pops, cutoff, alpha, beta)
+            ]
+            return compiled(*live, *small)
+
+        return search
+
+    if use_pallas:
+
+        def search(plane_idx, query_pops, cutoff, alpha, beta):
+            return jitted(
+                store.planes, store.popcounts, store.pops3, plane_idx,
+                query_pops, cutoff, alpha, beta,
+            )
+    else:
 
         def search(plane_idx, query_pops, cutoff, alpha, beta):
             return jitted(

@@ -67,9 +67,15 @@ def main():
     n = data.count
     lib_gib = data.fingerprints.nbytes / GiB
 
+    # Overlapped startup (round 4): warmup shapes AOT-precompile on a
+    # background thread WHILE the 91.5 GiB library streams/folds/uploads,
+    # and the mmap page prewarm runs behind the ready line. One warmup k
+    # (the benched k=128) — each extra k-fetch bucket is its own
+    # multi-minute remote compile.
     server_cmd = [
         sys.executable, "-m", "gpusimilarity_tpu.cli.server", args.lib,
-        "--port", str(port), "--fold", str(args.fold), "--no_warmup",
+        "--port", str(port), "--fold", str(args.fold),
+        "--warmup_ks", str(args.k), "--warmup_batch", "1",
         "--jax_cache_dir",
         str(Path(__file__).resolve().parent.parent / ".jax_cache_tpu"),
     ]
@@ -119,6 +125,18 @@ def main():
         query(int(q_rows[0]))
         compile_s = time.monotonic() - t0
 
+        # the rescore-page prewarm keeps streaming the 91.5 GiB map behind
+        # the ready line; wait for it so the timed passes measure steady-
+        # state serving, not disk contention with the warmer
+        prewarm_deadline = time.monotonic() + 3600
+        while time.monotonic() < prewarm_deadline:
+            text = log_path.read_text(errors="replace")
+            if "prewarmed" in text or "prewarm skipped" in text \
+                    or "prewarm not needed" in text:
+                break
+            time.sleep(5)
+        prewarm_s = time.monotonic() - t_start
+
         lat, warm_lat, exact_ok = [], [], 0
         for qi in q_rows:
             qi = int(qi)
@@ -162,6 +180,11 @@ def main():
                     "warm_p50_ms": round(statistics.median(warm_lat) * 1e3, 1),
                     "server_load_s": round(load_s, 1),
                     "compile_plus_first_s": round(compile_s, 1),
+                    # time from exec to the first query answered — the
+                    # honest cold-start number (compiles/upload/prewarm
+                    # overlap, so the two components above no longer add)
+                    "cold_start_s": round(load_s + compile_s, 1),
+                    "prewarm_done_s": round(prewarm_s, 1),
                     "path": "cli.server + HTTP",
                 }
             )
