@@ -131,11 +131,17 @@ def build_store(
     slabs (the same slab pipeline as the multi-host feed,
     :func:`build_store_multihost`): the full-width source — typically a
     ``.tfsim`` memory map several times larger than host RAM — is read
-    exactly once and the folded intermediate is never materialized whole,
-    so a 768M-row fold-8 load allocates ~12 GiB of planar output instead
-    of ~23 GiB of fold+transpose transients (which evict the page cache
-    the exact rescore needs right back, see
-    ``FingerprintDB._prewarm_rescore_pages``).
+    exactly once and the folded intermediate is never materialized whole.
+
+    The upload itself is **pipelined**: each folded slab is enqueued as a
+    donated ``dynamic_update_slice`` into a device-resident zero buffer, so
+    the (slow, ~20 MB/s over the axon relay) host→device transfer of slab
+    ``i`` overlaps the host-side fold of slab ``i+1`` instead of happening
+    in one giant blocking ``device_put`` after the fold — and a final
+    fetch-sync guarantees the store is actually resident before the first
+    search (an async bulk put left ~540 s of transfer hiding inside the
+    first execution at 768M rows fold-8). Per-column popcounts are computed
+    on device from the uploaded planes: zero extra transfer.
     """
     from ..ops import fold as fold_ops
 
@@ -147,28 +153,54 @@ def build_store(
 
     per_shard, chunk, n_padded = plan_store_layout(n, n_shards, chunk_cols)
 
-    planar = np.zeros((wf, n_padded), dtype=np.uint32)
-    pops = np.zeros(n_padded, dtype=np.int16)
-    slab = 1 << 21  # 2M rows x 128 B = 256 MB of source pages per slab
+    words_sharding = NamedSharding(mesh, P(None, axis))
+    pops_sharding = NamedSharding(mesh, P(axis))
+
+    buf = jax.jit(
+        lambda: jnp.zeros((wf, n_padded), jnp.uint32),
+        out_shardings=words_sharding,
+    )()
+    # donated: XLA updates the buffer in place — streaming never holds 2x
+    update = jax.jit(
+        lambda b, s, i: jax.lax.dynamic_update_slice(b, s, (0, i)),
+        out_shardings=words_sharding,
+        donate_argnums=0,
+    )
+
+    # slab width: ~2M columns rounded to the chunk so slab starts never
+    # clamp (dynamic_update_slice clamps out-of-range starts, which would
+    # silently smear a tail slab backwards over real columns)
+    slab = max(chunk, ((1 << 21) // chunk) * chunk)
     for s in range(0, n, slab):
-        e = min(s + slab, n)
+        width = min(slab, n_padded - s)
+        e = min(s + width, n)
         rows = np.asarray(packed_rows[s:e])
         folded = fold_ops.fold_words(rows, fold_factor)
         try:
             from ..utils import native
 
-            planar[:, s:e] = native.transpose_planar(folded, e - s)
+            planar_slab = native.transpose_planar(folded, width)
         except ImportError:
-            planar[:, s:e] = folded.T
-        pops[s:e] = popcount_rows_np(folded)
+            planar_slab = np.zeros((wf, width), dtype=np.uint32)
+            planar_slab[:, : e - s] = folded.T
+        buf = update(buf, planar_slab, s)
 
-    words_sharding = NamedSharding(mesh, P(None, axis))
-    pops_sharding = NamedSharding(mesh, P(axis))
+    pops = jax.jit(
+        lambda ws: jax.lax.with_sharding_constraint(
+            jnp.sum(
+                jax.lax.population_count(ws).astype(jnp.int32), axis=0
+            ).astype(jnp.int16),
+            pops_sharding,
+        )
+    )(buf)
+    # fetch-sync: forces every queued slab transfer + the popcount pass to
+    # complete NOW, inside the (logged, overlappable) upload phase
+    jax.device_get(pops[:1])
     return ShardedStore(
         mesh=mesh,
         axis=axis,
-        words=jax.device_put(planar, words_sharding),
-        popcounts=jax.device_put(pops, pops_sharding),
+        words=buf,
+        popcounts=pops,
         n_valid=n,
         chunk_cols=chunk,
     )
