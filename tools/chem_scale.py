@@ -12,8 +12,12 @@ fixture-scale inputs (round-3 review, "What's missing" #3). This tool:
    lib.tfsim`` as a subprocess, recording wall time, mol/s, and peak RSS
    (``/proc/<pid>/status`` VmHWM of the build process tree);
 3. loads the built library and verifies: row count, and exact self-match
-   (score 1.0, query id among the top hits) for sampled rows through a
-   CPU ``FingerprintDB``.
+   for sampled rows through a CPU ``FingerprintDB`` — rank-0 must score
+   1.0 and its row's packed fingerprint must equal the query's (the
+   combinatorial corpus contains exact-duplicate structures, so the
+   query's own id can legitimately be tie-displaced out of a small top-k;
+   what must hold is that the engine returned a genuinely identical row,
+   i.e. the score/index/string pipelines agree).
 
 Prints one JSON line. Runs entirely on CPU.
 
@@ -96,6 +100,9 @@ def main():
     ap.add_argument("--dir", default="/tmp/tpusim_chem_scale")
     ap.add_argument("--workers", type=int, default=0)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip the build if the library already exists "
+                    "(re-run just the verification)")
     ap.add_argument("--sample", type=int, default=8)
     args = ap.parse_args()
 
@@ -107,26 +114,30 @@ def main():
         write_corpus(corpus, args.rows)
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    t0 = time.monotonic()
-    proc = subprocess.Popen(
-        [
-            sys.executable, "-m", "gpusimilarity_tpu.cli.createdb",
-            str(corpus), str(lib), "--dbkey", "bulk", "--force",
-            "--workers", str(args.workers),
-        ],
-        env=env, stderr=subprocess.PIPE, text=True,
-    )
     peak = 0
-    tail: list[str] = []
-    for line in proc.stderr:
-        tail.append(line.rstrip()[:200])
-        tail = tail[-5:]
-        peak = max(peak, peak_rss_kib(proc.pid))
-    proc.wait()
-    build_s = time.monotonic() - t0
-    if proc.returncode != 0:
-        print("\n".join(tail), file=sys.stderr)
-        raise SystemExit(f"createdb failed rc={proc.returncode}")
+    build_s = 0.0
+    if args.reuse and lib.exists():
+        print(f"reusing existing {lib}", file=sys.stderr)
+    else:
+        t0 = time.monotonic()
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "gpusimilarity_tpu.cli.createdb",
+                str(corpus), str(lib), "--dbkey", "bulk", "--force",
+                "--workers", str(args.workers),
+            ],
+            env=env, stderr=subprocess.PIPE, text=True,
+        )
+        tail: list[str] = []
+        for line in proc.stderr:
+            tail.append(line.rstrip()[:200])
+            tail = tail[-5:]
+            peak = max(peak, peak_rss_kib(proc.pid))
+        proc.wait()
+        build_s = time.monotonic() - t0
+        if proc.returncode != 0:
+            print("\n".join(tail), file=sys.stderr)
+            raise SystemExit(f"createdb failed rc={proc.returncode}")
 
     # verify through the engine on CPU
     import jax
@@ -142,17 +153,26 @@ def main():
     db = FingerprintDB(data)
     rng = np.random.default_rng(5)
     ok = 0
+    exact_id = 0
     words = data.packed_words()
     for qi in rng.choice(args.rows, size=args.sample, replace=False):
         r = db.search(np.array(words[qi]), k=5, dbkey="bulk")
-        ids = ";".join(r.ids)  # duplicate-SMILES rows join their ids
-        if r.scores[0] == 1.0 and f"MOL{qi:08d}" in ids:
+        # rank-0 must be an identical-fingerprint row: score exactly 1.0,
+        # and the row the returned id names must hold the query's packed
+        # words (catches score/index/string pipeline disagreements; the
+        # query's OWN id can be tie-displaced by exact duplicates)
+        top = int(r.ids[0].split(";:;")[0].removeprefix("MOL"))
+        if r.scores[0] == 1.0 and np.array_equal(
+            np.asarray(words[top]), np.asarray(words[qi])
+        ):
             ok += 1
+        if any(f"MOL{qi:08d}" == i for j in r.ids for i in j.split(";:;")):
+            exact_id += 1
     print(
         json.dumps(
             {
                 "metric": "createdb_mols_per_sec",
-                "value": round(args.rows / build_s, 1),
+                "value": round(args.rows / build_s, 1) if build_s else None,
                 "unit": "mol/s",
                 "rows": args.rows,
                 "build_s": round(build_s, 1),
@@ -161,6 +181,7 @@ def main():
                     sum(p.stat().st_size for p in lib.rglob("*")) / 2**20, 1
                 ),
                 "self_match": f"{ok}/{args.sample}",
+                "exact_id_in_top5": f"{exact_id}/{args.sample}",
             }
         )
     )
