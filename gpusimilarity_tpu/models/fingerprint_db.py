@@ -467,6 +467,7 @@ class FingerprintDB:
                 )
         else:
             buckets = {0}
+        keys = []
         for k in ks:
             k_eff = min(int(k), self.count)
             k_fetch = _k_bucket(
@@ -474,7 +475,25 @@ class FingerprintDB:
             )
             for b in batches:
                 for pb in sorted(buckets):
-                    self._get_search_fn(k_fetch, b, similarity, pb)
+                    key = (k_fetch, b, similarity, pb)
+                    if key not in keys:
+                        keys.append(key)
+        # compile CONCURRENTLY: remote XLA compiles release the GIL and run
+        # on the service side, so n programs back to back cost ~n× one
+        # compile while a small pool costs ~1-2× (per-key locks make
+        # _get_search_fn safe; the serve path already live-compiles on up
+        # to 4 request threads at once). Measured motivation: each 104M+
+        # program is minutes of remote compile and warmup gates /healthz.
+        if len(keys) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(4, len(keys)), thread_name_prefix="tpusim-aot"
+            ) as pool:
+                list(pool.map(lambda t: self._get_search_fn(*t), keys))
+        else:
+            for t in keys:
+                self._get_search_fn(*t)
 
     def start_precompile(
         self, ks: Sequence[int] = (20, 128), max_batch: int = 1
