@@ -484,16 +484,30 @@ class FingerprintDB:
         # _get_search_fn safe; the serve path already live-compiles on up
         # to 4 request threads at once). Measured motivation: each 104M+
         # program is minutes of remote compile and warmup gates /healthz.
+        def compile_one(t):
+            # one bad geometry must not abandon the rest of the warmup
+            # set — that program's traffic falls back to a live compile
+            # (or k-bucket promotion) instead
+            try:
+                self._get_search_fn(*t)
+            except Exception:
+                import logging
+
+                logging.getLogger("tpusimilarity").exception(
+                    "AOT compile failed for %s; its traffic pays a live "
+                    "compile", t,
+                )
+
         if len(keys) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(
                 min(4, len(keys)), thread_name_prefix="tpusim-aot"
             ) as pool:
-                list(pool.map(lambda t: self._get_search_fn(*t), keys))
+                list(pool.map(compile_one, keys))
         else:
             for t in keys:
-                self._get_search_fn(*t)
+                compile_one(t)
 
     def start_precompile(
         self, ks: Sequence[int] = (20, 128), max_batch: int = 1

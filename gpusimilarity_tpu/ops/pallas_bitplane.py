@@ -61,7 +61,7 @@ def _batched_kernel(
     colmax_ref,  # out VMEM (1, 8, mc8) per-(query, chunk) word maxima
     cnt_ref,  # out VMEM (B, 128) lane-accumulated counts, grid-resident
     scratch_ref,  # VMEM (2, P, 8, mc8) double-buffered plane windows
-    sems,  # DMA sems (2, P)
+    sems,  # DMA sems (2,) — one per buffer slot, shared by its P copies
     *,
     n_valid: int,
     p: int,
@@ -75,13 +75,20 @@ def _batched_kernel(
     qb = pl.program_id(1)
     step = ci * b_total + qb
 
+    # all p plane copies of a slot share ONE counting semaphore: the
+    # consumer always waits for the whole slot before touching any plane,
+    # so per-plane semaphores buy nothing — and at plane bucket 256 a
+    # (2, p) semaphore array is 2 KiB of sflag, exactly this chip's entire
+    # scoped-semaphore budget (first 104M-row server boot failed its
+    # bucket-256 warmup compile with "Ran out of memory in memory space
+    # sflag. Used 2.1K of 2.0K").
     def start_fetch(slot, chunk_idx, b_idx):
         for pi in range(p):
             pltpu.make_async_copy(
                 planes_ref.at[pl.ds(8 * idx_ref[b_idx, pi], 8),
                               pl.ds(chunk_idx * mc8, mc8)],
                 scratch_ref.at[slot, pi],
-                sems.at[slot, pi],
+                sems.at[slot],
             ).start()
 
     def wait_fetch(slot, chunk_idx, b_idx):
@@ -90,7 +97,7 @@ def _batched_kernel(
                 planes_ref.at[pl.ds(8 * idx_ref[b_idx, pi], 8),
                               pl.ds(chunk_idx * mc8, mc8)],
                 scratch_ref.at[slot, pi],
-                sems.at[slot, pi],
+                sems.at[slot],
             ).wait()
 
     @pl.when(step == 0)
@@ -240,7 +247,7 @@ def pallas_bitplane_phase1_batched(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, p, 8, mc8), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, p)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
