@@ -60,6 +60,12 @@ def parse_args(argv=None):
         help="use the hand-written Pallas TPU kernels",
     )
     parser.add_argument(
+        "--popless", action="store_true",
+        help="dense store without the per-column popcount array (the scan "
+        "recomputes pops from the planes it reads) — frees 2 B/row of HBM, "
+        "the margin that fits 1.024B rows fold-8 on one 16 GB chip",
+    )
+    parser.add_argument(
         "--coordinator", default="",
         help="multi-host mode: coordination service address host:port "
         "(run one server process per host with --num_processes/--process_id; "
@@ -153,6 +159,7 @@ def main(argv=None):
         use_pallas=args.pallas,
         precompile_ks=None if args.no_warmup else warmup_ks,
         precompile_batch=min(args.warmup_batch, args.max_batch),
+        popless=args.popless,
     )
     # multi-host serving: every process loads (its span of) the library and
     # runs warmup in lockstep; process 0 serves HTTP and fans each request

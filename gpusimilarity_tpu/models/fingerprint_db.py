@@ -76,6 +76,7 @@ class FingerprintDB:
         scan_mode: str = "dense",
         use_pallas: bool = False,
         defer_upload: bool = False,
+        popless: bool = False,
     ):
         """``scan_mode``: ``"dense"`` scans every packed word per query (the
         word-planar kernel); ``"bitplane"`` stores the library bit-transposed
@@ -83,6 +84,11 @@ class FingerprintDB:
         latency for sparse fingerprints like Morgan (see ``ops/bitplane.py``);
         dense batches better. ``use_pallas`` routes the dense phase-1 scan
         through the hand-written Pallas TPU kernel.
+
+        ``popless=True`` (dense, single-process) stores NO per-column
+        popcount array in HBM; the scan recomputes column pops from the
+        planes it reads. 2 B/row of HBM back — what lets 1.024B rows
+        fold-8 (15.26 GiB of planes) fit a 15.75 GiB chip at all.
 
         ``defer_upload=True`` records metadata only; the caller then runs
         :meth:`start_precompile` (AOT compiles from geometry) concurrently
@@ -92,8 +98,15 @@ class FingerprintDB:
         data.validate()
         if scan_mode not in ("dense", "bitplane"):
             raise ValueError(f"unknown scan_mode {scan_mode!r}")
+        if popless and scan_mode != "dense":
+            raise ValueError(
+                "popless stores are dense-only: the bitplane score needs "
+                "stored popcounts (a query reads only its set-bit planes, "
+                "so column totals cannot be recomputed on the fly)"
+            )
         self.scan_mode = scan_mode
         self.use_pallas = use_pallas
+        self.popless = popless
         self.dbkey = data.dbkey
         self.bitcount = data.bitcount
         self.generator = data.generator  # provenance tag ("" = unknown)
@@ -124,6 +137,10 @@ class FingerprintDB:
         import jax
 
         self._multihost = jax.process_count() > 1
+        if self._multihost:
+            # the per-process feed builds popcounts with the planar slabs;
+            # popless is a single-chip HBM squeeze, not a multi-host need
+            self.popless = False
         # fp bytes this process actually read to build the device store —
         # multi-host tests assert no process materializes the full library
         self.loaded_fp_bytes: int | None = None
@@ -175,10 +192,14 @@ class FingerprintDB:
         import logging
 
         log = logging.getLogger("tpusimilarity")
+        from ..utils import synth
+
+        virtual = isinstance(full, synth.VirtualWords)
         if self._multihost:
             # per-process feed: each host reads/folds/transposes ONLY the
             # rows its local devices own, straight from the (typically
-            # memory-mapped) full matrix
+            # memory-mapped) full matrix — or, for a synthetic library,
+            # generates only its span (VirtualWords slicing)
             self._store, self.loaded_fp_bytes = sharded.build_store_multihost(
                 full,
                 mesh=self._mesh,
@@ -186,6 +207,38 @@ class FingerprintDB:
                 fold_factor=self.fold_factor,
             )
             self._shard_host_strings(data)
+        elif virtual and self.scan_mode == "dense":
+            # synthetic library: generate the folded planes DIRECTLY in HBM
+            # (one SPMD pass over the mixer) — no host materialization, no
+            # multi-GB transfer through the dispatch relay
+            self._store = synth.build_virtual_dense_store(
+                self._count,
+                self.fold_factor,
+                mesh=self._mesh,
+                word_count=self.word_count,
+                seed=full.seed,
+                popless=self.popless,
+                chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+            )
+        elif virtual:
+            n_aligned = synth.aligned_virtual_rows(
+                self._count, self._mesh.shape[SHARD_AXIS],
+                with_pops3=self.use_pallas,
+            )
+            if n_aligned != self._count:
+                raise ValueError(
+                    "synthetic bitplane store needs an aligned row count "
+                    f"(use synth.aligned_virtual_rows: {n_aligned}), or "
+                    "serve dense"
+                )
+            self._store = synth.build_virtual_bitplane_store(
+                self._count,
+                self.fold_factor,
+                mesh=self._mesh,
+                word_count=self.word_count,
+                seed=full.seed,
+                with_pops3=self.use_pallas,
+            )
         elif self.scan_mode == "bitplane":
             device_rows = fold_ops.fold_words(full, self.fold_factor)
             self._store = sharded.build_bitplane_store(
@@ -202,14 +255,25 @@ class FingerprintDB:
                 mesh=self._mesh,
                 chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
                 fold_factor=self.fold_factor,
+                popless=self.popless,
             )
         from ..utils.strings import mmap_backing
 
         # gate on the base-chain walk, not isinstance: load paths hand the
         # engine VIEWS of the mapped file (slices, dtype views), which
         # downcast np.memmap to ndarray — a bare isinstance would silently
-        # skip the prewarm and reintroduce 2-3 s/query cold-fault rescans
-        if self.fold_factor > 1 and mmap_backing(data.fingerprints) is not None:
+        # skip the prewarm and reintroduce 2-3 s/query cold-fault rescans.
+        # String blobs prewarm even when the fingerprints are NOT a map
+        # (synthetic source): every result row still faults an id + smiles
+        # page, and at 1B rows the strided blobs are tens of GiB.
+        needs_prewarm = (
+            self.fold_factor > 1
+            and mmap_backing(data.fingerprints) is not None
+        ) or any(
+            mmap_backing(getattr(t, "_blob", None)) is not None
+            for t in (self._smiles, self._ids)
+        )
+        if needs_prewarm:
             # folded + memory-mapped: the exact rescore will fault this
             # file's pages at serve time — heal the cache the upload
             # pass just partially evicted (see _prewarm_rescore_pages)
@@ -249,9 +313,15 @@ class FingerprintDB:
 
         import logging
 
+        from ..utils.strings import mmap_backing as _mm
+
         log = logging.getLogger("tpusimilarity")
-        fp = self._full_words
-        row_bytes = fp.shape[1] * 4
+        # only an mmap-backed matrix gets its pages touched: a synthetic
+        # (VirtualWords) source has no pages — "touching" it would burn CPU
+        # regenerating rows for nothing
+        fp = self._full_words if (
+            self._full_words is not None and _mm(self._full_words) is not None
+        ) else None
         total = None
         try:
             with open("/proc/meminfo") as f:
@@ -262,13 +332,11 @@ class FingerprintDB:
         except (ValueError, OSError):
             log.info("rescore prewarm skipped (no /proc/meminfo)")
             return
-        from ..utils.strings import mmap_backing
-
         # distinct string blobs (smiles/ids may hardlink to ONE file —
         # synthetic scale libraries do — so dedupe by inode, not by path)
         blobs = {}
         for table in (self._smiles, self._ids):
-            mm = mmap_backing(getattr(table, "_blob", None))
+            mm = _mm(getattr(table, "_blob", None))
             if mm is None or not mm.size:
                 continue
             try:
@@ -276,7 +344,12 @@ class FingerprintDB:
                 blobs[(st.st_dev, st.st_ino)] = mm
             except (OSError, TypeError):
                 blobs[id(mm)] = mm
-        nbytes = fp.shape[0] * row_bytes + sum(m.size for m in blobs.values())
+        row_bytes = fp.shape[1] * 4 if fp is not None else 0
+        fp_bytes = fp.shape[0] * row_bytes if fp is not None else 0
+        nbytes = fp_bytes + sum(m.size for m in blobs.values())
+        if nbytes == 0:
+            log.info("rescore prewarm not needed (no memory-mapped assets)")
+            return
         # gate on TOTAL ram, not MemAvailable: at this point the fold's
         # transient buffers (~2x folded size) are still allocated and make
         # MemAvailable lie about the serve-time picture, where the maps are
@@ -289,13 +362,14 @@ class FingerprintDB:
             )
             return
         t0 = time.monotonic()
-        rows_per_page = max(1, 4096 // row_bytes)
-        step = max(1, (64 << 20) // row_bytes)  # 64 MB of rows per slab
-        for lo in range(0, fp.shape[0], step):
-            hi = min(lo + step, fp.shape[0])
-            # one element per page, in sequential order: the kernel's
-            # readahead turns this into near-sequential streaming
-            fp[lo:hi:rows_per_page, 0].max()
+        if fp is not None:
+            rows_per_page = max(1, 4096 // row_bytes)
+            step = max(1, (64 << 20) // row_bytes)  # 64 MB of rows per slab
+            for lo in range(0, fp.shape[0], step):
+                hi = min(lo + step, fp.shape[0])
+                # one element per page, in sequential order: the kernel's
+                # readahead turns this into near-sequential streaming
+                fp[lo:hi:rows_per_page, 0].max()
         # string blobs too: every result row faults an id + smiles page,
         # and at 768M rows the blobs are ~10 GiB — hundreds of cold faults
         # per query until healed (measured ~0.9 s/query of fault time)
@@ -434,6 +508,7 @@ class FingerprintDB:
         return sharded.shape_only_store(
             self._count, wf, mesh=self._mesh,
             chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
+            popless=self.popless,
         )
 
     def precompile(
@@ -893,18 +968,27 @@ class FingerprintDB:
             # re-orders by score anyway.
             o = np.argsort(idx)
             idx, vals = idx[o], vals[o]
-            try:
-                from ..utils import native
+            from ..utils import synth
 
-                vals = native.rescore(
-                    self._full_words, idx, query, alpha, beta,
-                    tversky=similarity != TANIMOTO,
+            if isinstance(self._full_words, synth.VirtualWords):
+                # synthetic source: candidates are recomputed from the
+                # mixer (native when built) — no host matrix exists
+                vals = self._full_words.rescore(
+                    idx, query, similarity, alpha, beta
                 )
-            except ImportError:
-                vals = scores_np(
-                    self._full_words[idx], query[None, :], similarity, alpha,
-                    beta,
-                )[0]
+            else:
+                try:
+                    from ..utils import native
+
+                    vals = native.rescore(
+                        self._full_words, idx, query, alpha, beta,
+                        tversky=similarity != TANIMOTO,
+                    )
+                except ImportError:
+                    vals = scores_np(
+                        self._full_words[idx], query[None, :], similarity,
+                        alpha, beta,
+                    )[0]
 
         if cutoff > 0:
             keep = vals >= cutoff

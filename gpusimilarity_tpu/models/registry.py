@@ -87,6 +87,7 @@ class DatabaseRegistry:
         use_pallas: bool = False,
         precompile_ks: Optional[Sequence[int]] = None,
         precompile_batch: int = 1,
+        popless: bool = False,
     ) -> "DatabaseRegistry":
         """Load ``.fsim`` files or native ``.tfsim`` directories; database
         names are file basenames (reference ``gpusim.cpp:114-116``).
@@ -142,6 +143,9 @@ class DatabaseRegistry:
                 "auto scan mode resolved to %s%s (effective fold %d)",
                 scan_mode, " + pallas" if use_pallas else "", fold,
             )
+        if popless and scan_mode != "dense":
+            log.info("popless store forces dense scan mode (was %s)", scan_mode)
+            scan_mode = "dense"
         overlap = precompile_ks is not None
         if overlap:
             import jax
@@ -152,7 +156,7 @@ class DatabaseRegistry:
             t0 = time.monotonic()
             db = reg.add(
                 name, data, fold_factor=fold, scan_mode=scan_mode,
-                use_pallas=use_pallas, defer_upload=overlap,
+                use_pallas=use_pallas, defer_upload=overlap, popless=popless,
             )
             if overlap:
                 db.start_precompile(
@@ -206,6 +210,7 @@ class DatabaseRegistry:
         scan_mode: str = "dense",
         use_pallas: bool = False,
         defer_upload: bool = False,
+        popless: bool = False,
     ) -> FingerprintDB:
         if name in self._dbs:
             # two paths sharing a basename would silently shadow half the
@@ -214,7 +219,7 @@ class DatabaseRegistry:
         db = FingerprintDB(
             data, mesh=self._mesh, fold_factor=fold_factor,
             scan_mode=scan_mode, use_pallas=use_pallas,
-            defer_upload=defer_upload,
+            defer_upload=defer_upload, popless=popless,
         )
         self._dbs[name] = db
         return db

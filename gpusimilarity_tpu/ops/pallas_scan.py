@@ -34,7 +34,7 @@ NEG_INF = float("-inf")  # plain float: a jnp scalar would be captured as a
 def _phase1_kernel(
     off_ref,  # SMEM (1,): this shard's global column offset
     db_ref,  # VMEM (W, C) uint32 — one chunk of packed word-planes
-    pops_ref,  # VMEM (C,) int16 (or int32; popcounts <= bitcount)
+    pops_ref,  # VMEM (C,) int16 (or int32); (1,) dummy when popless
     q_ref,  # VMEM (B, W) uint32
     qpops_ref,  # VMEM (B,) int32
     cutoff_ref,  # VMEM (B,) f32
@@ -45,6 +45,7 @@ def _phase1_kernel(
     n_valid: int,
     block: int,
     similarity: str,
+    popless: bool,
 ):
     w, c = db_ref.shape
     b = q_ref.shape[0]
@@ -60,16 +61,24 @@ def _phase1_kernel(
     valid = col_idx < n_valid
 
     common = jnp.zeros((b, c), dtype=jnp.int32)
+    dtot = jnp.zeros((1, c), dtype=jnp.int32) if popless else None
     for wi in range(w):
         plane = db_ref[wi, :][None, :]  # (1, C)
         qw = q_ref[:, wi][:, None]  # (B, 1)
         common = common + jax.lax.population_count(
             jnp.bitwise_and(plane, qw)
         ).astype(jnp.int32)
+        if popless:
+            # popless store: per-column popcounts recomputed from the
+            # planes already in VMEM — shared across the query batch
+            dtot = dtot + jax.lax.population_count(plane).astype(jnp.int32)
 
     cf = common.astype(jnp.float32)
     # int32 hop: Mosaic's sub-word int16->f32 cast support varies
-    dpops = pops_ref[:][None, :].astype(jnp.int32).astype(jnp.float32)
+    if popless:
+        dpops = dtot.astype(jnp.float32)
+    else:
+        dpops = pops_ref[:][None, :].astype(jnp.int32).astype(jnp.float32)
     qpops = qpops_ref[:][:, None].astype(jnp.float32)
     if similarity == TANIMOTO:
         denom = qpops + dpops - cf
@@ -94,11 +103,13 @@ def _phase1_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "block", "n_valid", "similarity", "interpret"),
+    static_argnames=(
+        "chunk", "block", "n_valid", "similarity", "popless", "interpret",
+    ),
 )
 def pallas_phase1(
     db,  # uint32 (W, Ns) planar packed words
-    pops,  # int16/int32 (Ns,)
+    pops,  # int16/int32 (Ns,); ignored ((1,) dummy) when popless
     queries,  # uint32 (B, W)
     query_pops,  # int32 (B,)
     cutoffs,  # f32 (B,)
@@ -110,6 +121,7 @@ def pallas_phase1(
     block: int,
     n_valid: int,
     similarity: str = TANIMOTO,
+    popless: bool = False,
     interpret: bool = False,
 ):
     """Returns (block_max f32[B, Ns/block], counts i32[B])."""
@@ -131,14 +143,18 @@ def pallas_phase1(
     )
 
     kernel = functools.partial(
-        _phase1_kernel, n_valid=n_valid, block=block, similarity=similarity
+        _phase1_kernel, n_valid=n_valid, block=block, similarity=similarity,
+        popless=popless,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # shard offset
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((w, chunk), lambda i, off: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk,), lambda i, off: (i,), memory_space=pltpu.VMEM),
+            # popless: the (1,) dummy travels whole (no per-chunk slicing)
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            if popless
+            else pl.BlockSpec((chunk,), lambda i, off: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # queries, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # query pops
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cutoffs

@@ -78,8 +78,13 @@ class ShardedStore:
     words: jax.Array  # uint32[W, n_padded], sharded P(None, axis)
     # int16: a 1024-bit fingerprint's popcount is <= 1024, and at 768M rows
     # an int32 array costs 3 GB of HBM — the difference between a fold-8
-    # beyond-HBM library fitting on one chip or not
-    popcounts: jax.Array  # int16[n_padded], sharded P(axis)
+    # beyond-HBM library fitting on one chip or not. None = POPLESS store:
+    # column popcounts are recomputed from the planes inside the scan
+    # (the scan reads every word anyway; a handful of extra VPU popcounts
+    # ride under the DMA bound) — at 1.024B rows fold-8 the int16 array
+    # alone (1.9 GiB) is what would push the 15.26 GiB of planes out of a
+    # 15.75 GiB chip.
+    popcounts: jax.Array | None  # int16[n_padded], sharded P(axis), or None
     n_valid: int  # real row count; padded tail columns are masked out
     chunk_cols: int  # per-shard lax.map chunk width (divides shard width)
 
@@ -120,6 +125,7 @@ def build_store(
     axis: str = SHARD_AXIS,
     chunk_cols: int = DEFAULT_CHUNK_COLS,
     fold_factor: int = 1,
+    popless: bool = False,
 ) -> ShardedStore:
     """Upload ``uint32[N, W]`` packed rows as a planar sharded store.
 
@@ -185,17 +191,19 @@ def build_store(
             planar_slab[:, : e - s] = folded.T
         buf = update(buf, planar_slab, s)
 
-    pops = jax.jit(
-        lambda ws: jax.lax.with_sharding_constraint(
-            jnp.sum(
-                jax.lax.population_count(ws).astype(jnp.int32), axis=0
-            ).astype(jnp.int16),
-            pops_sharding,
-        )
-    )(buf)
+    pops = None
+    if not popless:
+        pops = jax.jit(
+            lambda ws: jax.lax.with_sharding_constraint(
+                jnp.sum(
+                    jax.lax.population_count(ws).astype(jnp.int32), axis=0
+                ).astype(jnp.int16),
+                pops_sharding,
+            )
+        )(buf)
     # fetch-sync: forces every queued slab transfer + the popcount pass to
     # complete NOW, inside the (logged, overlappable) upload phase
-    jax.device_get(pops[:1])
+    jax.device_get((buf if pops is None else pops)[..., :1])
     return ShardedStore(
         mesh=mesh,
         axis=axis,
@@ -296,6 +304,7 @@ def shape_only_store(
     mesh: jax.sharding.Mesh | None = None,
     axis: str = SHARD_AXIS,
     chunk_cols: int = DEFAULT_CHUNK_COLS,
+    popless: bool = False,
 ) -> ShardedStore:
     """Geometry-only store: ``words``/``popcounts`` are
     ``jax.ShapeDtypeStruct``s carrying the real shardings.
@@ -320,7 +329,7 @@ def shape_only_store(
             (word_count, n_padded), np.uint32,
             sharding=NamedSharding(mesh, P(None, axis)),
         ),
-        popcounts=jax.ShapeDtypeStruct(
+        popcounts=None if popless else jax.ShapeDtypeStruct(
             (n_padded,), np.int16, sharding=NamedSharding(mesh, P(axis)),
         ),
         n_valid=n,
@@ -502,11 +511,20 @@ def build_bitplane_store(
 
 
 def _score_columns(cols, col_pops, queries, query_pops, similarity, alpha, beta):
-    """Score a planar column block: ``(W, C) x (B, W) -> f32 (B, C)``."""
+    """Score a planar column block: ``(W, C) x (B, W) -> f32 (B, C)``.
+
+    ``col_pops=None`` (popless store) recomputes the per-column popcounts
+    from the planes being read — one extra popcount+add per word, shared
+    across the whole query batch.
+    """
     inter = jnp.bitwise_and(cols[None, :, :], queries[:, :, None])  # (B, W, C)
     common = jnp.sum(
         jax.lax.population_count(inter).astype(jnp.int32), axis=1
     )  # (B, C)
+    if col_pops is None:
+        col_pops = jnp.sum(
+            jax.lax.population_count(cols).astype(jnp.int32), axis=0
+        )  # (C,)
     return similarity_from_counts(
         common, col_pops, query_pops, similarity, alpha, beta
     )
@@ -514,7 +532,7 @@ def _score_columns(cols, col_pops, queries, query_pops, similarity, alpha, beta)
 
 def _local_scan_topk(
     db,  # uint32 (W, Ns)
-    pops,  # int32 (Ns,)
+    pops,  # int16/int32 (Ns,), or None for a popless store
     queries,  # uint32 (B, W)
     query_pops,  # int32 (B,)
     cutoff,  # f32 (B,) per-query similarity cutoffs
@@ -564,6 +582,11 @@ def _local_scan_topk(
     blocks_per_chunk = chunk // block
     k_blocks = min(k, n_blocks)
 
+    def slice_pops(base, width):
+        if pops is None:
+            return None
+        return jax.lax.dynamic_slice(pops, (base,), (width,))
+
     def masked_scores(cols, col_pops, base, width):
         scores = _score_columns(
             cols, col_pops, queries, query_pops, similarity, alpha, beta
@@ -587,8 +610,7 @@ def _local_scan_topk(
             def chunk_fn(ci):
                 base = ci * chunk
                 cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
-                col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
-                scores = masked_scores(cols, col_pops, base, chunk)
+                scores = masked_scores(cols, slice_pops(base, chunk), base, chunk)
                 v, i = jax.lax.top_k(scores, kcc)
                 c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
                 return v, i.astype(jnp.int32) + base, c
@@ -612,17 +634,18 @@ def _local_scan_topk(
         from ..ops.pallas_scan import pallas_phase1
 
         block_max, cnt = pallas_phase1(
-            db, pops, queries, query_pops, cutoff, alpha, beta, shard_offset,
+            db,
+            jnp.zeros((1,), jnp.int16) if pops is None else pops,
+            queries, query_pops, cutoff, alpha, beta, shard_offset,
             chunk=p1_chunk, block=block, n_valid=n_valid,
-            similarity=similarity,
+            similarity=similarity, popless=pops is None,
             interpret=(jax.default_backend() == "cpu"),
         )
     else:
         def phase1_fn(ci):
             base = ci * chunk
             cols = jax.lax.dynamic_slice(db, (0, base), (w, chunk))
-            col_pops = jax.lax.dynamic_slice(pops, (base,), (chunk,))
-            scores = masked_scores(cols, col_pops, base, chunk)
+            scores = masked_scores(cols, slice_pops(base, chunk), base, chunk)
             bmax = scores.reshape(b, blocks_per_chunk, block).max(axis=-1)
             c = jnp.sum((scores >= cutoff[:, None]).astype(jnp.int32), axis=-1)
             return bmax, c
@@ -651,7 +674,11 @@ def _local_scan_topk(
         def block_scores(bi):
             base = bi * block
             cols = jax.lax.dynamic_slice(db, (0, base), (w, block))
-            col_pops = jax.lax.dynamic_slice(pops, (base,), (block,))
+            col_pops = slice_pops(base, block)
+            if col_pops is None:  # popless: from the planes just fetched
+                col_pops = jnp.sum(
+                    jax.lax.population_count(cols).astype(jnp.int32), axis=0
+                )
             inter = jnp.bitwise_and(cols, q[:, None])
             common = jnp.sum(
                 jax.lax.population_count(inter).astype(jnp.int32), axis=0
@@ -771,6 +798,8 @@ def build_search_fn(
         use_pallas=use_pallas,
     )
 
+    popless = store.popcounts is None
+
     def spmd(db, pops, queries, query_pops, cutoff, alpha, beta):
         vals, idx, cnt = local(db, pops, queries, query_pops, cutoff, alpha, beta)
         all_vals = jax.lax.all_gather(vals, axis)  # (S, B, k_local)
@@ -786,10 +815,17 @@ def build_search_fn(
         approx = jax.lax.all_gather(cnt, axis)  # (S, B) int32
         return top_vals, top_idx, approx
 
+    def spmd_popless(db, queries, query_pops, cutoff, alpha, beta):
+        return spmd(db, None, queries, query_pops, cutoff, alpha, beta)
+
     mapped = _shard_map(
-        spmd,
+        spmd_popless if popless else spmd,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
+        in_specs=(
+            (P(None, axis), P(), P(), P(), P(), P())
+            if popless
+            else (P(None, axis), P(axis), P(), P(), P(), P(), P())
+        ),
         out_specs=(P(), P(), P()),
         # outputs are replicated by construction (all_gather + identical
         # reduction on every shard); the static checker can't see that
@@ -797,6 +833,9 @@ def build_search_fn(
     )
 
     jitted = jax.jit(mapped)
+
+    def store_args(s):
+        return (s.words,) if popless else (s.words, s.popcounts)
 
     if isinstance(store.words, jax.ShapeDtypeStruct):
         rep = NamedSharding(mesh, P())
@@ -806,8 +845,7 @@ def build_search_fn(
             return jax.ShapeDtypeStruct(shape, dtype, sharding=rep)
 
         compiled = jitted.lower(
-            store.words,
-            store.popcounts,
+            *store_args(store),
             sds((batch, wf), np.uint32),   # folded queries
             sds((batch,), np.int32),       # query popcounts
             sds((batch,), np.float32),     # cutoffs
@@ -825,7 +863,7 @@ def build_search_fn(
                 jax.device_put(x, rep)
                 for x in (queries, query_pops, cutoff, alpha, beta)
             ]
-            return compiled(s.words, s.popcounts, *small)
+            return compiled(*store_args(s), *small)
 
         return search
 
@@ -833,7 +871,7 @@ def build_search_fn(
         # store arrays travel as jit arguments (not closure constants) so the
         # executable never embeds the library and re-dispatch is cheap
         return jitted(
-            store.words, store.popcounts, queries, query_pops, cutoff, alpha, beta
+            *store_args(store), queries, query_pops, cutoff, alpha, beta
         )
 
     # seal shapes: callers pass exactly (batch, W) queries

@@ -96,7 +96,16 @@ class FingerprintData:
             )
 
     def packed_words(self) -> np.ndarray:
-        """Fingerprints as ``uint32[count, bitcount // 32]`` packed words."""
+        """Fingerprints as ``uint32[count, bitcount // 32]`` packed words.
+
+        For a synthetic (v3 ``.tfsim``) source this is the lazy
+        :class:`~gpusimilarity_tpu.utils.synth.VirtualWords` face — rows
+        materialize from their indices on demand; nothing is stored.
+        """
+        from .synth import VirtualFingerprints
+
+        if isinstance(self.fingerprints, VirtualFingerprints):
+            return self.fingerprints.words
         fp = np.ascontiguousarray(self.fingerprints)
         return fp.view(np.uint32).reshape(self.count, self.bitcount // 32)
 

@@ -281,6 +281,347 @@ def build_virtual_bitplane_store(
     )
 
 
+class VirtualWords:
+    """Lazy ``uint32 (count, W)`` face of a virtual library.
+
+    Drop-in for the engine's host-side full-width matrix (the fold-mode
+    exact-rescore source, ``models/fingerprint_db.py``) when the library is
+    counter-mixer generated: rows materialize on demand from their indices,
+    so a 1.024B-row x 128 B full-width matrix (122 GB — larger than this
+    host's disk, let alone its page cache) needs zero storage. The serve-
+    time contract the engine uses: ``shape``/``nbytes``/``dtype``,
+    ``__getitem__`` (int / slice / index array), and :meth:`rescore`.
+    """
+
+    __slots__ = ("shape", "seed")
+    dtype = np.dtype(np.uint32)
+
+    def __init__(self, count: int, word_count: int = 32, seed: int = 0):
+        self.shape = (int(count), int(word_count))
+        self.seed = int(seed)
+
+    @property
+    def nbytes(self) -> int:
+        return self.shape[0] * self.shape[1] * 4
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, key):
+        n, w = self.shape
+        if isinstance(key, (int, np.integer)):
+            i = int(key)
+            if i < 0:
+                i += n
+            if not 0 <= i < n:
+                raise IndexError(f"row {key} out of range [0, {n})")
+            return virtual_rows_np(
+                np.array([i]), word_count=w, seed=self.seed
+            )[0]
+        if isinstance(key, slice):
+            start, stop, step = key.indices(n)
+            if step == 1 and stop - start >= 1024:
+                try:
+                    from . import native
+
+                    return native.synth_fill(
+                        stop - start, w, seed=self.seed, row0=start
+                    )
+                except ImportError:
+                    pass
+            idx = np.arange(start, stop, step, dtype=np.int64)
+        else:
+            idx = np.asarray(key)
+            if idx.ndim != 1:
+                raise TypeError(
+                    "VirtualWords supports int / slice / 1-D index arrays"
+                )
+            if idx.size and (idx.min() < -n or idx.max() >= n):
+                raise IndexError("row indices out of range")
+            idx = np.where(idx < 0, idx + n, idx).astype(np.int64)
+        return virtual_rows_np(idx, word_count=w, seed=self.seed)
+
+    def rescore(self, indices, query_full, similarity="tanimoto",
+                alpha: float = 1.0, beta: float = 1.0) -> np.ndarray:
+        """Exact full-width scores of rows ``indices`` against ``query_full``
+        — the virtual counterpart of ``native.rescore`` over an mmap."""
+        indices = np.asarray(indices, dtype=np.int64)
+        try:
+            from . import native
+
+            return native.synth_rescore(
+                indices, np.asarray(query_full, np.uint32), seed=self.seed,
+                alpha=alpha, beta=beta, tversky=similarity != "tanimoto",
+            )
+        except ImportError:
+            from ..ops.scan import scores_np
+
+            rows = virtual_rows_np(
+                indices, word_count=self.shape[1], seed=self.seed
+            )
+            return scores_np(rows, np.asarray(query_full)[None, :],
+                             similarity, alpha, beta)[0]
+
+
+class VirtualFingerprints:
+    """Lazy ``uint8 (count, bitcount // 8)`` face of a virtual library —
+    what a synthetic-kind ``.tfsim`` exposes as ``FingerprintData.
+    fingerprints`` (``utils/tfsim.py`` format v3). Carries the same
+    ``shape``/``nbytes`` surface the loaders and the registry's fold
+    arithmetic read; bulk access goes through :attr:`words`."""
+
+    __slots__ = ("words",)
+    dtype = np.dtype(np.uint8)
+
+    def __init__(self, count: int, bitcount: int = 1024, seed: int = 0):
+        if bitcount % 32:
+            raise ValueError(f"bitcount {bitcount} not divisible by 32")
+        self.words = VirtualWords(count, bitcount // 32, seed)
+
+    @property
+    def shape(self) -> tuple:
+        n, w = self.words.shape
+        return (n, w * 4)
+
+    @property
+    def seed(self) -> int:
+        return self.words.seed
+
+    @property
+    def nbytes(self) -> int:
+        return self.words.nbytes
+
+    def __len__(self) -> int:
+        return self.words.shape[0]
+
+    def __getitem__(self, key):
+        rows = self.words[key]
+        return np.ascontiguousarray(rows).view(np.uint8)
+
+
+def build_virtual_dense_store(
+    n_rows: int,
+    fold_factor: int,
+    mesh=None,
+    axis: str | None = None,
+    word_count: int = 32,
+    seed: int = 0,
+    popless: bool = True,
+    chunk_cols: int | None = None,
+    row_chunk: int = 1 << 17,
+):
+    """Generate the folded virtual library directly in HBM as a DENSE store.
+
+    The dense counterpart of :func:`build_virtual_bitplane_store`: one SPMD
+    pass generates each shard's global row range chunk-by-chunk from the
+    counter mixer, OR-folds, transposes to the planar ``(wf, cols)`` layout,
+    and accumulates into the store buffer in place (``fori_loop`` carry) —
+    peak transient HBM is O(row_chunk). ``popless=True`` (the default here)
+    skips the int16 popcount array: at 1.024B rows fold-8 the planes alone
+    are 15.26 GiB of a 15.75 GiB chip and the scan recomputes column pops
+    on the fly (:func:`~..parallel.sharded._score_columns`).
+
+    Padding columns beyond ``n_rows`` hold real mixer rows — the scan's
+    ``n_valid`` mask (not zero data) is what excludes them, exactly as for
+    uploaded stores.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import SHARD_AXIS, make_mesh
+    from ..parallel.sharded import (
+        DEFAULT_CHUNK_COLS,
+        ShardedStore,
+        plan_store_layout,
+    )
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or SHARD_AXIS
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.shape[axis]
+    if word_count % fold_factor:
+        raise ValueError("fold factor must divide the word count")
+    wf = word_count // fold_factor
+    per_shard, chunk, n_padded = plan_store_layout(
+        n_rows, n_shards, chunk_cols or DEFAULT_CHUNK_COLS
+    )
+    gen_chunk = min(row_chunk, per_shard)
+    while per_shard % gen_chunk:
+        gen_chunk //= 2
+    gen_chunk = max(128, gen_chunk)
+    n_chunks = per_shard // gen_chunk
+
+    def gen_shard(planes0, *rest):
+        s = jax.lax.axis_index(axis).astype(jnp.uint32)
+        row_base = s * jnp.uint32(per_shard)
+        pops0 = rest[0] if rest else None
+
+        def body(ci, carry):
+            planes, pops = carry
+            loc0 = ci * gen_chunk
+            full = _virtual_rows_jnp(
+                row_base + loc0.astype(jnp.uint32), gen_chunk, word_count,
+                seed,
+            )  # (gen_chunk, W)
+            folded = jnp.bitwise_or.reduce(
+                full.reshape(gen_chunk, fold_factor, wf), axis=1
+            )
+            planes = jax.lax.dynamic_update_slice(planes, folded.T, (0, loc0))
+            if pops is not None:
+                rp = jnp.sum(
+                    jax.lax.population_count(folded).astype(jnp.int32), axis=1
+                ).astype(jnp.int16)
+                pops = jax.lax.dynamic_update_slice(pops, rp, (loc0,))
+            return planes, pops
+
+        planes, pops = jax.lax.fori_loop(
+            0, n_chunks, body, (planes0, pops0)
+        )
+        return (planes,) if popless else (planes, pops)
+
+    words_sharding = jax.NamedSharding(mesh, P(None, axis))
+    pops_sharding = jax.NamedSharding(mesh, P(axis))
+    in_specs = (P(None, axis),) if popless else (P(None, axis), P(axis))
+    out_specs = in_specs
+    mapped = _shard_map(
+        gen_shard, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    # the store buffer enters as a DONATED jit argument: at 1.024B rows
+    # fold-8 the planes are 15.26 of 15.75 GiB — an unaliased fill output
+    # would OOM, so in-place is guaranteed rather than hoped for
+    args = [
+        jax.jit(
+            lambda: jnp.zeros((wf, per_shard * n_shards), jnp.uint32),
+            out_shardings=words_sharding,
+        )()
+    ]
+    if not popless:
+        args.append(
+            jax.jit(
+                lambda: jnp.zeros((per_shard * n_shards,), jnp.int16),
+                out_shardings=pops_sharding,
+            )()
+        )
+    out = jax.jit(
+        mapped,
+        donate_argnums=tuple(range(len(args))),
+        out_shardings=(
+            (words_sharding,) if popless else (words_sharding, pops_sharding)
+        ),
+    )(*args)
+    planes = out[0]
+    pops = None if popless else out[1]
+    # fetch-sync: the store must actually be resident before first search
+    jax.device_get(planes[:1, :1])
+    return ShardedStore(
+        mesh=mesh,
+        axis=axis,
+        words=planes,
+        popcounts=pops,
+        n_valid=n_rows,
+        chunk_cols=chunk,
+    )
+
+
+def virtual_full_topk(
+    n_rows: int,
+    queries_full: np.ndarray,
+    k: int,
+    seed: int = 0,
+    word_count: int = 32,
+    row_chunk: int = 1 << 16,
+    cutoffs=(),
+):
+    """EXACT full-width top-k over a virtual library, computed on device.
+
+    The oracle for folded-search recall at scales where no stored full-width
+    matrix can exist (1.024B rows x 128 B = 122 GB > this host's disk): rows
+    are generated in-register from the mixer chunk by chunk, scored at full
+    width, and only a running ``(B, k)`` top-k survives — near-zero HBM, so
+    it can run before a flagship server boots on the same chip. Returns
+    ``(scores f32 (B, k), indices i64 (B, k), counts i64 (B, len(cutoffs)))``
+    where counts are exact full-width >=cutoff tallies. Tie-break is lowest
+    index, like the engine (carry-first concat + top_k's first-occurrence
+    order make that hold across chunks).
+
+    This is an ORACLE, not the search engine: it only works because the
+    library is a formula. Real libraries are data; the engine's store scan
+    + fold rescore is the production path being judged against this.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.scan import popcount_rows_np
+
+    q = np.ascontiguousarray(queries_full, dtype=np.uint32)
+    if q.ndim == 1:
+        q = q[None, :]
+    b, w = q.shape
+    if w != word_count:
+        raise ValueError(f"queries have {w} words, library has {word_count}")
+    chunk = min(row_chunk, max(128, n_rows))
+    n_chunks = -(-n_rows // chunk)
+    cut = np.asarray(cutoffs, np.float32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(qd, qpops, cutd):
+        def body(ci, carry):
+            vals, idx, counts = carry
+            row0 = (ci * chunk).astype(jnp.uint32)
+            rows = _virtual_rows_jnp(row0, chunk, word_count, seed)
+            inter = jnp.bitwise_and(rows[None, :, :], qd[:, None, :])
+            common = jnp.sum(
+                jax.lax.population_count(inter).astype(jnp.int32), axis=-1
+            )  # (B, chunk)
+            dpops = jnp.sum(
+                jax.lax.population_count(rows).astype(jnp.int32), axis=-1
+            )  # (chunk,)
+            c = common.astype(jnp.float32)
+            denom = qpops[:, None] + dpops[None, :].astype(jnp.float32) - c
+            s = jnp.where(denom > 0, c / denom, 0.0)
+            s = jnp.where((c == denom) & (denom > 0), 1.0, s)
+            gidx = ci * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, chunk), 1
+            )
+            s = jnp.where(gidx < n_rows, s, -jnp.inf)
+            counts = counts + jnp.sum(
+                (s[:, None, :] >= cutd[None, :, None]).astype(jnp.int32),
+                axis=-1,
+            )
+            cat_v = jnp.concatenate([vals, s], axis=1)
+            cat_i = jnp.concatenate(
+                [idx, jnp.broadcast_to(gidx, (b, chunk))], axis=1
+            )
+            v2, pos = jax.lax.top_k(cat_v, k)
+            i2 = jnp.take_along_axis(cat_i, pos.astype(jnp.int32), axis=1)
+            return v2, i2, counts
+
+        vals0 = jnp.full((b, k), -jnp.inf, jnp.float32)
+        idx0 = jnp.full((b, k), -1, jnp.int32)
+        counts0 = jnp.zeros((b, len(cutoffs)), jnp.int32)
+        return jax.lax.fori_loop(0, n_chunks, body, (vals0, idx0, counts0))
+
+    vals, idx, counts = jax.device_get(
+        run(
+            jnp.asarray(q),
+            jnp.asarray(popcount_rows_np(q).astype(np.float32)),
+            jnp.asarray(cut if cut.size else np.zeros(1, np.float32))[
+                : len(cutoffs)
+            ],
+        )
+    )
+    return vals, idx.astype(np.int64), counts.astype(np.int64)
+
+
 def virtual_matrix(
     n_rows: int, word_count: int = 32, seed: int = 0
 ) -> np.ndarray:

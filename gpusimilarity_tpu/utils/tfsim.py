@@ -40,8 +40,14 @@ from .strings import ConstantStringTable, StridedStringTable, StringTable
 # the "strided"/"constant" string-table kinds (and the "encoding" field);
 # files are stamped v2 only when they actually use one, so v1-only readers
 # reject them with a clear version error instead of a missing-file crash.
+# Version 3 adds the "synthetic" fingerprint kind (meta "fingerprints":
+# {"kind": "synthetic", "seed": N}): rows are the deterministic counter-
+# mixer function of their index (utils/synth.py) and no fingerprints.npy
+# exists — the storage layer for libraries whose full-width matrix exceeds
+# the HOST's disk (a 1.024B-row x 128 B matrix is 122 GB), while string
+# tables stay real on-disk blobs.
 FORMAT_VERSION = 1
-MAX_FORMAT_VERSION = 2
+MAX_FORMAT_VERSION = 3
 
 
 def _save_strings(dirpath: Path, field: str, strings) -> dict:
@@ -93,8 +99,11 @@ def _load_strings(dirpath: Path, field: str, desc: dict, count: int, mmap: bool)
     return StringTable(blob, offsets)
 
 
-def _strings_format_version(strings_meta: dict) -> int:
-    """v1 unless a v2-only string layout (strided/constant) is present."""
+def _format_version(strings_meta: dict, fp_meta: dict | None = None) -> int:
+    """Lowest version that can express this file: v3 for synthetic
+    fingerprints, v2 for strided/constant strings, else v1."""
+    if fp_meta is not None and fp_meta.get("kind") == "synthetic":
+        return 3
     needs_v2 = any(
         d.get("kind", "offsets") != "offsets" for d in strings_meta.values()
     )
@@ -152,7 +161,16 @@ def save_native(
     tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
     tmp.mkdir(parents=True, exist_ok=False)
     try:
-        np.save(tmp / "fingerprints.npy", np.ascontiguousarray(data.fingerprints))
+        from .synth import VirtualFingerprints
+
+        if isinstance(data.fingerprints, VirtualFingerprints):
+            fp_meta = {"kind": "synthetic", "seed": data.fingerprints.seed}
+        else:
+            fp_meta = {"kind": "npy"}
+            np.save(
+                tmp / "fingerprints.npy",
+                np.ascontiguousarray(data.fingerprints),
+            )
         strings_meta = {
             field: _save_strings(tmp, field, strings)
             for field, strings in (("smiles", data.smiles), ("ids", data.ids))
@@ -160,12 +178,13 @@ def save_native(
         (tmp / "meta.json").write_text(
             json.dumps(
                 {
-                    "format_version": _strings_format_version(strings_meta),
+                    "format_version": _format_version(strings_meta, fp_meta),
                     "dbkey": data.dbkey,
                     "bitcount": data.bitcount,
                     "count": data.count,
                     "generator": data.generator,
                     "strings": strings_meta,
+                    "fingerprints": fp_meta,
                 }
             )
         )
@@ -187,7 +206,18 @@ def load_native(path: str | os.PathLike, mmap: bool = True) -> FingerprintData:
     if type(version) is not int or not 1 <= version <= MAX_FORMAT_VERSION:
         raise ValueError(f"unsupported .tfsim format version {version}")
     mode = "r" if mmap else None
-    fingerprints = np.load(path / "fingerprints.npy", mmap_mode=mode)
+    fp_meta = meta.get("fingerprints", {"kind": "npy"})
+    fp_kind = fp_meta.get("kind", "npy")
+    if fp_kind == "synthetic":
+        from .synth import VirtualFingerprints
+
+        fingerprints = VirtualFingerprints(
+            meta["count"], meta["bitcount"], int(fp_meta.get("seed", 0))
+        )
+    elif fp_kind == "npy":
+        fingerprints = np.load(path / "fingerprints.npy", mmap_mode=mode)
+    else:
+        raise ValueError(f"unknown fingerprint kind {fp_kind!r}")
     strings_meta = meta.get("strings", {})
     tables = {
         field: _load_strings(
@@ -255,7 +285,15 @@ class TfsimStreamWriter:
         dbkey: str = "",
         generator: str = "",
         overwrite: bool = False,
+        synthetic_seed: int | None = None,
+        strided: "dict[str, int] | None" = None,
     ):
+        """``synthetic_seed``: write a v3 synthetic-fingerprint database —
+        no ``fingerprints.npy`` (rows are the counter-mixer function of the
+        index); ``append_batch`` then takes ``fingerprints=None``.
+        ``strided``: per-field fixed record width (e.g. ``{"ids": 13}``) —
+        that field writes a bare fixed-width blob with NO offsets index
+        (16 GB of pure redundancy at 1B rows)."""
         self.path = Path(path)
         self._overwrite = overwrite
         if self.path.exists() and not overwrite:
@@ -265,85 +303,146 @@ class TfsimStreamWriter:
         self.generator = generator
         self.count = 0
         self._row_bytes = bitcount // 8
+        self._synthetic_seed = synthetic_seed
+        self._strided = dict(strided or {})
         self._tmp = self.path.with_name(self.path.name + f".tmp.{os.getpid()}")
         self._tmp.mkdir(parents=True, exist_ok=False)
-        self._fp = open(self._tmp / "fingerprints.npy", "wb")
-        self._fp.write(b"\0" * _NPY_HEADER_LEN)
+        self._fp = None
+        if synthetic_seed is None:
+            self._fp = open(self._tmp / "fingerprints.npy", "wb")
+            self._fp.write(b"\0" * _NPY_HEADER_LEN)
         self._files = {}
         self._offsets = {}
         self._tails = {}
         for field in ("smiles", "ids"):
             self._files[field] = open(self._tmp / f"{field}.blob", "wb")
-            self._offsets[field] = open(self._tmp / f"{field}.idx.npy", "wb")
-            self._offsets[field].write(b"\0" * _NPY_HEADER_LEN)
+            if field not in self._strided:
+                self._offsets[field] = open(
+                    self._tmp / f"{field}.idx.npy", "wb"
+                )
+                self._offsets[field].write(b"\0" * _NPY_HEADER_LEN)
             self._tails[field] = 0
+
+    def _write_strided(self, field: str, strings) -> int:
+        """Write one fixed-width field batch; returns its record count."""
+        width = self._strided[field]
+        if isinstance(strings, np.ndarray):
+            raw = np.ascontiguousarray(strings, dtype=np.uint8).tobytes()
+        elif isinstance(strings, (bytes, bytearray, memoryview)):
+            raw = bytes(strings)
+        else:
+            strings = list(strings)
+            bad = [s for s in strings if len(s) != width]
+            if bad:
+                raise ValueError(
+                    f"strided field {field!r} needs {width}-byte records; "
+                    f"got length {len(bad[0])}"
+                )
+            raw = b"".join(strings)
+        if len(raw) % width:
+            raise ValueError(
+                f"strided field {field!r}: {len(raw)} bytes is not a "
+                f"multiple of record width {width}"
+            )
+        self._files[field].write(raw)
+        return len(raw) // width
 
     def append_batch(
         self,
-        fingerprints: np.ndarray | bytes,
-        smiles: "list[bytes]",
-        ids: "list[bytes]",
+        fingerprints: "np.ndarray | bytes | None",
+        smiles,
+        ids,
     ) -> None:
-        """Append rows: packed fingerprint bytes + parallel string lists."""
-        if isinstance(fingerprints, (bytes, bytearray, memoryview)):
-            fp = np.frombuffer(fingerprints, np.uint8)
-        else:
-            fp = np.asarray(fingerprints)
-            if fp.dtype != np.uint8:
-                # np.asarray(arr, np.uint8) would VALUE-truncate packed
-                # uint32 words (every word mod 256) and write a silently
-                # corrupt database; callers with packed words must pass
-                # row-major bytes (e.g. arr.view/astype explicitly)
-                raise TypeError(
-                    f"fingerprints must be raw uint8 bytes, got dtype "
-                    f"{fp.dtype}; reinterpret packed words with "
-                    ".view(np.uint8) (little-endian rows) instead"
+        """Append rows: packed fingerprint bytes + parallel string batches.
+
+        String batches are ``list[bytes]`` (any field) or, for strided
+        fields, optionally raw fixed-width bytes / a ``uint8 (n, width)``
+        array. ``fingerprints`` must be None iff the writer is synthetic.
+        """
+        n = None
+        if self._fp is None:
+            if fingerprints is not None:
+                raise ValueError(
+                    "synthetic writer: pass fingerprints=None (rows are "
+                    "derived from the index)"
                 )
-        fp = np.ascontiguousarray(fp).reshape(-1, self._row_bytes)
-        n = fp.shape[0]
-        if len(smiles) != n or len(ids) != n:
-            raise ValueError(
-                f"batch mismatch: {n} fingerprints, {len(smiles)} smiles, "
-                f"{len(ids)} ids"
-            )
-        self._fp.write(fp.tobytes())
+        else:
+            if isinstance(fingerprints, (bytes, bytearray, memoryview)):
+                fp = np.frombuffer(fingerprints, np.uint8)
+            else:
+                fp = np.asarray(fingerprints)
+                if fp.dtype != np.uint8:
+                    # np.asarray(arr, np.uint8) would VALUE-truncate packed
+                    # uint32 words (every word mod 256) and write a silently
+                    # corrupt database; callers with packed words must pass
+                    # row-major bytes (e.g. arr.view/astype explicitly)
+                    raise TypeError(
+                        f"fingerprints must be raw uint8 bytes, got dtype "
+                        f"{fp.dtype}; reinterpret packed words with "
+                        ".view(np.uint8) (little-endian rows) instead"
+                    )
+            fp = np.ascontiguousarray(fp).reshape(-1, self._row_bytes)
+            n = fp.shape[0]
+            self._fp.write(fp.tobytes())
         for field, strings in (("smiles", smiles), ("ids", ids)):
-            blob = self._files[field]
-            pos = self._tails[field]
-            spans = np.empty((n, 2), np.int64)
-            for i, s in enumerate(strings):
-                spans[i] = (pos, pos + len(s))
-                pos += len(s)
-            blob.write(b"".join(strings))
-            self._offsets[field].write(spans.tobytes())
-            self._tails[field] = pos
+            if field in self._strided:
+                n_field = self._write_strided(field, strings)
+            else:
+                strings = list(strings)
+                n_field = len(strings)
+                blob = self._files[field]
+                pos = self._tails[field]
+                spans = np.empty((n_field, 2), np.int64)
+                for i, s in enumerate(strings):
+                    spans[i] = (pos, pos + len(s))
+                    pos += len(s)
+                blob.write(b"".join(strings))
+                self._offsets[field].write(spans.tobytes())
+                self._tails[field] = pos
+            if n is None:
+                n = n_field
+            elif n_field != n:
+                raise ValueError(
+                    f"batch mismatch: {n} rows but {n_field} {field} records"
+                )
         self.count += n
 
     def close(self) -> None:
         """Stamp headers, write meta, atomically rename into place."""
         try:
-            _write_npy_header(
-                self._fp, (self.count, self._row_bytes), "|u1"
-            )
-            self._fp.close()
+            if self._fp is not None:
+                _write_npy_header(
+                    self._fp, (self.count, self._row_bytes), "|u1"
+                )
+                self._fp.close()
+                fp_meta = {"kind": "npy"}
+            else:
+                fp_meta = {"kind": "synthetic", "seed": self._synthetic_seed}
+            strings_meta = {}
             for field in ("smiles", "ids"):
                 self._files[field].close()
-                _write_npy_header(
-                    self._offsets[field], (self.count, 2), "<i8"
-                )
-                self._offsets[field].close()
+                if field in self._strided:
+                    strings_meta[field] = {
+                        "kind": "strided", "itemsize": self._strided[field],
+                    }
+                else:
+                    _write_npy_header(
+                        self._offsets[field], (self.count, 2), "<i8"
+                    )
+                    self._offsets[field].close()
+                    strings_meta[field] = {"kind": "offsets"}
             (self._tmp / "meta.json").write_text(
                 json.dumps(
                     {
-                        "format_version": FORMAT_VERSION,
+                        "format_version": _format_version(
+                            strings_meta, fp_meta
+                        ),
                         "dbkey": self.dbkey,
                         "bitcount": self.bitcount,
                         "count": self.count,
                         "generator": self.generator,
-                        "strings": {
-                            "smiles": {"kind": "offsets"},
-                            "ids": {"kind": "offsets"},
-                        },
+                        "strings": strings_meta,
+                        "fingerprints": fp_meta,
                     }
                 )
             )
@@ -357,7 +456,8 @@ class TfsimStreamWriter:
 
         for f in [self._fp, *self._files.values(), *self._offsets.values()]:
             try:
-                f.close()
+                if f is not None:
+                    f.close()
             except Exception:
                 pass
         shutil.rmtree(self._tmp, ignore_errors=True)

@@ -1,0 +1,327 @@
+"""North-star flagship: 1.024B rows served on ONE chip, measured honestly.
+
+The reference's published headline is ~1B compounds in fractions of a second
+on a multi-GPU box (``/root/reference/README.md:13``; presentation slide 13:
+1,020,017,472 rows fold-4 at 451.7 ms avg on 4x V100). This tool runs the
+same row count through THIS rebuild's real serving stack on a single v5e:
+
+* builds a 1,024,000,000-row ``.tfsim`` library: synthetic-kind fingerprints
+  (the deterministic counter mixer, ``utils/synth.py`` — a stored full-width
+  matrix would be 122 GB, more than this host's whole disk) with REAL
+  on-disk string tables: strided 32-byte SMILES + 13-byte ids, ~46 GB of
+  blobs the serve path actually reads per result row;
+* computes a full-width EXACT oracle for the benchmark queries ON DEVICE
+  before the server boots (``synth.virtual_full_topk`` — generate, score,
+  discard; near-zero HBM);
+* serves via ``cli.server`` (HTTP, batching, warmup) with ``--fold 8
+  --popless``: 15.26 GiB of folded planes + no popcount array is what fits
+  1.024B rows on a 15.75 GiB chip. Fold-16 would halve that but is
+  unusable: measured on this corpus, 40-400 MILLION rows out-rank the true
+  top-128 in fold-16 score space (/tmp probe, round 5) — no over-fetch
+  recovers that;
+* reports p50/warm-p50 latency, cold start, the r3/r4 exactness checks
+  (self-match rank-0 at 1.0, every returned score full-width-exact,
+  descending), AND true top-k recall vs the oracle — folded search is the
+  reference's own near-exact trade (slide 11: 1.45% mismatch at fold 8);
+  this tool measures instead of hand-waving it.
+
+Usage: python tools/northstar.py [--rows N] [--fold 8] [--k 128]
+       [--queries 12] [--dir D] [--reuse] [--cpu] [--skip_oracle]
+Prints ONE JSON summary line (the FLAGSHIP_r05 record).
+"""
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+GiB = 1 << 30
+SEED = 7
+ID_W, SMI_W = 13, 32  # "SYN%010d" / 8 four-char fragments
+
+# 256 SMILES-flavored 4-byte fragments (16 x 16 two-char tokens): filler
+# with realistic byte content — the point is real, distinct, page-faulting
+# string data per row, not chemical validity.
+_TOKENS = [
+    "C(", "CC", "CN", "CO", "c1", "cc", "N(", "NC",
+    "O)", "OC", "S(", "=O", ")C", ")N", "1C", "2c",
+]
+FRAGS = np.frombuffer(
+    "".join(a + b for a in _TOKENS for b in _TOKENS).encode(), np.uint8
+).reshape(256, 4)
+
+
+def smiles_blob(lo: int, hi: int) -> np.ndarray:
+    """Deterministic strided SMILES records for rows [lo, hi): uint8 (n, 32)."""
+    from gpusimilarity_tpu.utils.synth import _GOLD, _mix32
+
+    idx = np.arange(lo, hi, dtype=np.uint32)
+    h = _mix32(idx ^ np.uint32(0x51E57A7E))
+    sel = np.empty((hi - lo, 8), np.uint32)
+    for k in range(8):
+        sel[:, k] = _mix32(h + np.uint32((k * _GOLD) & 0xFFFFFFFF))
+    return FRAGS[sel & 255].reshape(hi - lo, SMI_W)
+
+
+def ids_blob(lo: int, hi: int) -> np.ndarray:
+    """SYN%010d records for rows [lo, hi): uint8 (n, 13)."""
+    n = hi - lo
+    out = np.empty((n, ID_W), np.uint8)
+    out[:, 0:3] = np.frombuffer(b"SYN", np.uint8)
+    x = np.arange(lo, hi, dtype=np.int64)
+    for d in range(10):
+        out[:, 12 - d] = 48 + (x % 10)
+        x //= 10
+    return out
+
+
+def build_library(path: Path, rows: int) -> float:
+    from gpusimilarity_tpu.utils.tfsim import TfsimStreamWriter
+
+    t0 = time.monotonic()
+    slab = 4 << 20
+    with TfsimStreamWriter(
+        path, dbkey="northstar", generator="synthetic-mixer-v1",
+        synthetic_seed=SEED, strided={"smiles": SMI_W, "ids": ID_W},
+    ) as w:
+        for lo in range(0, rows, slab):
+            hi = min(lo + slab, rows)
+            w.append_batch(None, smiles_blob(lo, hi), ids_blob(lo, hi))
+            if lo % (64 << 20) == 0:
+                print(
+                    f"  strings {lo / rows:.0%} ({time.monotonic()-t0:.0f}s)",
+                    file=sys.stderr, flush=True,
+                )
+    return time.monotonic() - t0
+
+
+def post(port, body, timeout=600):
+    req = urllib.request.Request(
+        f"http://localhost:{port}/similarity_search_json", data=body.encode()
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1024000000)
+    ap.add_argument("--fold", type=int, default=8)
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=12)
+    ap.add_argument("--dir", default="/tmp/tpusim_northstar")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse an existing library directory")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip_oracle", action="store_true")
+    ap.add_argument("--port", type=int, default=0)
+    args = ap.parse_args()
+
+    repo = Path(__file__).resolve().parent.parent
+    lib = Path(args.dir) / f"rows{args.rows}.tfsim"
+    port = args.port or (21000 + os.getpid() % 9000)  # FRESH port: the
+    # tunnel keeper squats on every previously bound loopback port
+
+    from gpusimilarity_tpu.utils import synth
+    from gpusimilarity_tpu.utils.tfsim import load_native
+
+    build_s = 0.0
+    if lib.exists() and args.reuse:
+        print(f"reusing {lib}", file=sys.stderr)
+    else:
+        print(f"building {lib} ({args.rows} rows)", file=sys.stderr)
+        lib.parent.mkdir(parents=True, exist_ok=True)
+        build_s = build_library(lib, args.rows)
+        print(f"built in {build_s:.0f}s", file=sys.stderr)
+
+    data = load_native(lib)
+    n = data.count
+    full = data.packed_words()  # VirtualWords: rows materialize on demand
+    rng = np.random.default_rng(123)
+    q_rows = np.sort(rng.choice(n, size=args.queries, replace=False))
+    queries = full[q_rows.astype(np.int64)]
+
+    # ---- full-width EXACT oracle, on device, BEFORE the server owns HBM
+    oracle_path = lib.parent / f"oracle_rows{n}_q{args.queries}_k{args.k}.json"
+    oracle = None
+    if not args.skip_oracle:
+        if oracle_path.exists():
+            oracle = json.loads(oracle_path.read_text())
+            print(f"reusing oracle {oracle_path}", file=sys.stderr)
+        else:
+            import jax
+
+            if args.cpu:
+                jax.config.update("jax_platforms", "cpu")
+            jax.config.update(
+                "jax_compilation_cache_dir", str(repo / ".jax_cache_tpu")
+            )
+            t0 = time.monotonic()
+            vals, idx, counts = synth.virtual_full_topk(
+                n, queries, args.k, seed=SEED, cutoffs=(0.3, 0.5)
+            )
+            oracle = {
+                "oracle_s": round(time.monotonic() - t0, 1),
+                "vals": vals.tolist(),
+                "idx": idx.tolist(),
+                "count_03": counts[:, 0].tolist(),
+                "count_05": counts[:, 1].tolist(),
+            }
+            oracle_path.write_text(json.dumps(oracle))
+            print(
+                f"oracle computed in {oracle['oracle_s']}s", file=sys.stderr
+            )
+
+    # ---- serve through the real stack
+    server_cmd = [
+        sys.executable, "-m", "gpusimilarity_tpu.cli.server", str(lib),
+        "--port", str(port), "--fold", str(args.fold),
+        "--popless", "--scan_mode", "dense",
+        "--warmup_ks", str(args.k), "--warmup_batch", "1",
+        "--jax_cache_dir", str(repo / ".jax_cache_tpu"),
+    ]
+    if args.cpu:
+        server_cmd.append("--cpu_only")
+    dbname = lib.name[: -len(".tfsim")]
+    log_path = Path(f"/tmp/northstar_server_{port}.log")
+    t_start = time.monotonic()
+    proc = subprocess.Popen(
+        server_cmd, stdout=log_path.open("wb"), stderr=subprocess.STDOUT
+    )
+    try:
+        while True:
+            if proc.poll() is not None:
+                sys.exit(f"server died; see {log_path}")
+            if "ready on" in log_path.read_text(errors="replace"):
+                break
+            time.sleep(5)
+        load_s = time.monotonic() - t_start
+
+        def query(fp_hex, timeout=3600):
+            body = (
+                f"fp_hex={fp_hex}&return_count={args.k}"
+                f"&similarity_cutoff=0&dbnames={dbname}&dbkeys=northstar"
+            )
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    return post(port, body)
+                except urllib.error.HTTPError as e:
+                    if e.code == 503 and time.monotonic() < deadline:
+                        time.sleep(5)
+                        continue
+                    raise
+
+        hexes = [np.ascontiguousarray(q).tobytes().hex() for q in queries]
+        t0 = time.monotonic()
+        query(hexes[0])
+        compile_s = time.monotonic() - t0
+
+        # steady state: wait for the string-blob prewarm
+        deadline = time.monotonic() + 3600
+        while time.monotonic() < deadline:
+            text = log_path.read_text(errors="replace")
+            if "prewarmed" in text or "prewarm skipped" in text \
+                    or "prewarm not needed" in text:
+                break
+            time.sleep(5)
+        prewarm_s = time.monotonic() - t_start
+
+        lat, warm_lat, exact_ok = [], [], 0
+        recalls, recalls05, returned = [], [], []
+        for bi, qi in enumerate(q_rows):
+            qi = int(qi)
+            t0 = time.monotonic()
+            r = query(hexes[bi])
+            lat.append(time.monotonic() - t0)
+            ids = [row[0] for row in r["results"]]
+            scores = [row[2] for row in r["results"]]
+            ridx = np.array([int(i[3:]) for i in ids])  # SYN%010d
+            returned.append(ridx.tolist())
+            rescored = full.rescore(ridx, np.asarray(queries[bi]))
+            # r3/r4 exactness triple: self-match, rescore-exact, descending
+            if (
+                ridx[0] == qi
+                and scores[0] == 1.0
+                and np.allclose(scores, rescored, atol=1e-6)
+                and scores == sorted(scores, reverse=True)
+            ):
+                exact_ok += 1
+            if oracle is not None:
+                true_idx = set(oracle["idx"][bi])
+                got = set(ridx.tolist())
+                recalls.append(len(true_idx & got) / args.k)
+                strong = [
+                    i for i, v in zip(oracle["idx"][bi], oracle["vals"][bi])
+                    if v >= 0.5
+                ]
+                recalls05.append(
+                    len(set(strong) & got) / len(strong) if strong else 1.0
+                )
+        for bi in range(len(q_rows)):
+            t0 = time.monotonic()
+            query(hexes[bi])
+            warm_lat.append(time.monotonic() - t0)
+        p50 = statistics.median(lat)
+        record = {
+            "metric": "northstar_server_path_p50_ms",
+            "value": round(p50 * 1e3, 1),
+            "unit": "ms",
+            "rows": n,
+            "fold": args.fold,
+            "popless": True,
+            "k": args.k,
+            "full_width_gib": round(full.nbytes / GiB, 1),
+            "device_gib": round(full.nbytes / args.fold / GiB, 2),
+            "string_blob_gib": round(
+                sum(
+                    (lib / f).stat().st_size
+                    for f in ("smiles.blob", "ids.blob")
+                ) / GiB, 1,
+            ),
+            "exactness_checks_passed": f"{exact_ok}/{args.queries}",
+            "fps_per_chip": round(n / p50, 1),
+            "min_ms": round(min(lat) * 1e3, 1),
+            "warm_p50_ms": round(statistics.median(warm_lat) * 1e3, 1),
+            "server_load_s": round(load_s, 1),
+            "compile_plus_first_s": round(compile_s, 1),
+            "cold_start_s": round(load_s + compile_s, 1),
+            "prewarm_done_s": round(prewarm_s, 1),
+            "library_build_s": round(build_s, 1),
+            "path": "cli.server + HTTP",
+        }
+        if oracle is not None:
+            record.update(
+                {
+                    "oracle": "full-width on-device (synth.virtual_full_topk)",
+                    "recall_at_k": round(float(np.mean(recalls)), 4),
+                    "recall_at_k_min": round(float(np.min(recalls)), 4),
+                    "recall_strong_ge_0.5": round(
+                        float(np.mean(recalls05)), 4
+                    ),
+                    "oracle_s": oracle.get("oracle_s"),
+                }
+            )
+        print(json.dumps(record))
+        if exact_ok != args.queries:
+            sys.exit("exactness check failed")
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+if __name__ == "__main__":
+    main()
