@@ -200,12 +200,27 @@ class FingerprintDB:
             # rows its local devices own, straight from the (typically
             # memory-mapped) full matrix — or, for a synthetic library,
             # generates only its span (VirtualWords slicing)
-            self._store, self.loaded_fp_bytes = sharded.build_store_multihost(
-                full,
-                mesh=self._mesh,
-                chunk_cols=self._chunk_cols or sharded.DEFAULT_CHUNK_COLS,
-                fold_factor=self.fold_factor,
-            )
+            if self.scan_mode == "bitplane":
+                self._store, self.loaded_fp_bytes = (
+                    sharded.build_bitplane_store_multihost(
+                        full,
+                        mesh=self._mesh,
+                        chunk_cols=self._chunk_cols
+                        or sharded.BITPLANE_CHUNK_COLS,
+                        fold_factor=self.fold_factor,
+                        with_pops3=self.use_pallas,
+                    )
+                )
+            else:
+                self._store, self.loaded_fp_bytes = (
+                    sharded.build_store_multihost(
+                        full,
+                        mesh=self._mesh,
+                        chunk_cols=self._chunk_cols
+                        or sharded.DEFAULT_CHUNK_COLS,
+                        fold_factor=self.fold_factor,
+                    )
+                )
             self._shard_host_strings(data)
         elif virtual and self.scan_mode == "dense":
             # synthetic library: generate the folded planes DIRECTLY in HBM

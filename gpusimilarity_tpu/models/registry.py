@@ -46,16 +46,19 @@ def resolve_scan_mode(
     whether from an explicit flag or from a bigger-than-HBM library's auto
     fold, picks dense. The reference has no analogous decision (one scan
     kernel); its auto-fold precedent is ``gpusim.cpp:119-143``.
+
+    Multi-host serving uses the same rule since round 5: the bitplane
+    layout is per-shard-local, so each process feeds its own shards'
+    plane blocks (``sharded.build_bitplane_store_multihost``) — the v5e-8
+    topology now serves the best single-query kernel unfolded.
     """
+    del multihost  # no longer restricts the mode (kept for call parity)
     if scan_mode != "auto":
         return scan_mode, pallas
     on_tpu = backend not in ("cpu",)
     mode = "bitplane" if on_tpu else "dense"
     use_pallas = pallas or on_tpu
-    if int(effective_fold) > 1 or multihost:
-        # multi-host serving builds its per-process store feed on the dense
-        # layout (parallel/sharded.build_store_multihost); bitplane's
-        # per-shard sub-row interleave has no per-process feed path
+    if int(effective_fold) > 1:
         mode = "dense"
     return mode, use_pallas
 

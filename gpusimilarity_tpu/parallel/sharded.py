@@ -510,6 +510,110 @@ def build_bitplane_store(
     )
 
 
+def build_bitplane_store_multihost(
+    packed_rows: np.ndarray,
+    mesh: jax.sharding.Mesh,
+    axis: str = SHARD_AXIS,
+    chunk_cols: int = None,
+    fold_factor: int = 1,
+    with_pops3: bool = False,
+) -> tuple["BitplaneStore", int]:
+    """Per-process feed of a global BITPLANE store (round-4 VERDICT gap #4).
+
+    The bitplane layout is per-shard-local (each shard's column block is the
+    sub-row interleave of its OWN contiguous global row range —
+    :class:`BitplaneStore`), so a process can build exactly its shards'
+    blocks from its row span with no cross-host data motion: fold its rows
+    slab-wise, bit-transpose each owned shard (``build_bitplanes_np``), lay
+    the sub-row interleave locally, and join the global arrays with
+    ``make_array_from_process_local_data``. This is what lets the v5e-8
+    target topology (8 server processes) serve the best single-query kernel
+    instead of being forced dense (``registry.resolve_scan_mode``).
+
+    Returns ``(store, fp_bytes_read)`` like :func:`build_store_multihost`.
+    """
+    from ..ops import fold as fold_ops
+    from ..ops.bitplane import build_bitplanes_np
+    from . import multihost
+
+    n, w = packed_rows.shape
+    wf = w // fold_factor
+    bitcount_f = wf * 32
+    n_shards = mesh.shape[axis]
+    chunk, n_padded = plan_bitplane_layout(
+        n, n_shards, chunk_cols or BITPLANE_CHUNK_COLS, with_pops3
+    )
+    per_shard = n_padded // n_shards
+    m8s = per_shard // 256
+    lo, hi = multihost.process_row_span(mesh, n_padded)
+    n_local = hi - lo
+    n_local_shards = n_local // per_shard
+
+    planes_local = np.zeros(
+        ((bitcount_f + 1) * 8, n_local_shards * m8s), np.uint32
+    )
+    # (plane, sub-row, local shard, word) view of the arranged local block
+    pl4 = planes_local.reshape(bitcount_f + 1, 8, n_local_shards, m8s)
+    pops_local = np.zeros(n_local, np.int32)
+    bytes_read = 0
+    slab = 1 << 21
+    for j in range(n_local_shards):
+        start = lo + j * per_shard
+        valid = max(0, min(n, start + per_shard) - start)
+        if valid == 0:
+            continue
+        if fold_factor == 1:
+            # zero-copy: a contiguous row slice of the (typically mmapped)
+            # matrix, reinterpreted as bytes — only these pages are touched
+            folded = np.ascontiguousarray(packed_rows[start : start + valid])
+            bytes_read += folded.nbytes
+        else:
+            folded = np.empty((valid, wf), np.uint32)
+            for s in range(0, valid, slab):
+                e = min(s + slab, valid)
+                rows = np.asarray(packed_rows[start + s : start + e])
+                bytes_read += rows.nbytes
+                folded[s:e] = fold_ops.fold_words(rows, fold_factor)
+        planes_shard = build_bitplanes_np(
+            folded.view(np.uint8), per_shard
+        )  # (bitcount_f, per_shard // 32)
+        pl4[:bitcount_f, :, j, :] = planes_shard.reshape(bitcount_f, 8, m8s)
+        pops_local[j * per_shard : j * per_shard + valid] = popcount_rows_np(
+            folded
+        )
+        del planes_shard, folded
+
+    from jax.sharding import NamedSharding
+
+    words = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, axis)), planes_local
+    )
+    pops = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)), pops_local.astype(np.int16)
+    )
+    pops3 = None
+    if with_pops3:
+        from ..ops.pallas_bitplane import build_pops3
+
+        pops3 = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, None, axis)),
+            np.ascontiguousarray(
+                build_pops3(pops_local, max(1, n_local_shards))
+            ),
+        )
+    store = BitplaneStore(
+        mesh=mesh,
+        axis=axis,
+        planes=words,
+        popcounts=pops,
+        n_valid=n,
+        chunk_cols=min(chunk, per_shard),
+        bitcount=bitcount_f,
+        pops3=pops3,
+    )
+    return store, bytes_read
+
+
 def _score_columns(cols, col_pops, queries, query_pops, similarity, alpha, beta):
     """Score a planar column block: ``(W, C) x (B, W) -> f32 (B, C)``.
 
