@@ -155,7 +155,11 @@ class FingerprintDB:
         # bucket it was promoted to; consulted BEFORE _search_fns so a later
         # warmup() compiling the exact bucket cannot flip served result sets
         self._pinned_keys: dict = {}
-        self._warming = False
+        # THREAD-LOCAL: warmup bypasses promotion only on its own thread. A
+        # process-global flag let live requests racing a concurrent warmup
+        # take the exact-bucket path and return a different fold>1 result
+        # set than the same query before/after the warmup window
+        self._warming = threading.local()
         # k-bucket promotion support: keys whose exact program is being
         # compiled off the request path (single-process only)
         self._bg_keys: set = set()
@@ -611,11 +615,15 @@ class FingerprintDB:
             import time
 
             t0 = time.monotonic()
+            # snapshot: compile_count counts every compile in the process
+            # lifetime (live request threads race this warmup), so log the
+            # DELTA this precompile pass actually added (r4 advisor)
+            before = self.compile_count
             try:
                 self.precompile(ks=tuple(ks), max_batch=max_batch)
                 logging.getLogger("tpusimilarity").info(
                     "AOT-precompiled %d search programs in %.1fs",
-                    self.compile_count, time.monotonic() - t0,
+                    self.compile_count - before, time.monotonic() - t0,
                 )
             except Exception:
                 logging.getLogger("tpusimilarity").exception(
@@ -666,7 +674,7 @@ class FingerprintDB:
         actually compile.
         """
         key = (k_fetch, batch, similarity, plane_bucket)
-        if self._warming:
+        if getattr(self._warming, "flag", False):
             return self._get_search_fn(*key), None
         if self.fold_factor > 1:
             pinned = self._pinned_keys.get(key)
@@ -825,7 +833,9 @@ class FingerprintDB:
         for bucket in _BATCH_BUCKETS[1:]:
             if bucket <= max_batch:
                 batches.append(bucket)
-        self._warming = True  # compile the exact buckets, never promote
+        # thread-local: only THIS thread's searches compile exact buckets;
+        # live requests racing the warmup keep their promotion pins
+        self._warming.flag = True
         try:
             for query in self._warmup_queries():
                 for b in batches:
@@ -835,7 +845,7 @@ class FingerprintDB:
                             dbkey=self.dbkey,
                         )
         finally:
-            self._warming = False
+            self._warming.flag = False
 
     def search(
         self,

@@ -454,6 +454,64 @@ class TestKBucketPromotion:
         r3 = db.search(q, k=5, dbkey="promo")
         assert (r3.scores, r3.ids) == (r.scores, r.ids)
 
+    def test_mixed_k_workload_deterministic_under_warmup_churn(self, rng):
+        """Round-4 VERDICT item 6: a mixed-k fold>1 workload, warmed only
+        at k=128, returns bit-identical result sets across 100 repetitions
+        WHILE a concurrent warmup lands exact-bucket compiles. Two
+        mechanisms under test: the promotion pins (exact-bucket programs
+        must never take over served keys) and the thread-LOCAL warmup
+        flag (a process-global flag let racing live requests bypass the
+        pin and answer from the exact bucket mid-churn)."""
+        import threading
+
+        from gpusimilarity_tpu.utils.fsim import FingerprintData
+
+        bits = rng.random((30000, 1024)) < 0.06
+        data = FingerprintData(
+            dbkey="churn", bitcount=1024,
+            fingerprints=np.packbits(bits, axis=1, bitorder="little"),
+            smiles=[f"S{i}".encode() for i in range(30000)],
+            ids=[f"C{i:06d}".encode() for i in range(30000)],
+        )
+        db = FingerprintDB(data, fold_factor=2)
+        db.warmup(ks=(128,))
+        words = data.packed_words()
+        ks = (5, 20, 64)
+        q_rows = (17, 4242, 29999)
+        baseline = {}
+        for k, qi in zip(ks, q_rows):
+            r = db.search(words[qi], k=k, dbkey="churn")
+            baseline[k] = (r.scores, r.ids, r.approximate_count)
+            # pinned: the promoted (512-fetch) program serves this key
+            assert db._pinned_keys, "expected a promotion pin at fold > 1"
+
+        churn_err = []
+
+        def churn():
+            try:
+                db.warmup(ks=ks)  # compiles the exact 128-fetch bucket
+            except Exception as e:  # pragma: no cover
+                churn_err.append(e)
+
+        t = threading.Thread(target=churn)
+        t.start()
+        try:
+            for _ in range(100):
+                for k, qi in zip(ks, q_rows):
+                    r = db.search(words[qi], k=k, dbkey="churn")
+                    assert (
+                        r.scores, r.ids, r.approximate_count
+                    ) == baseline[k], f"k={k} flipped mid-churn"
+        finally:
+            t.join()
+        assert not churn_err
+        # the exact bucket DID compile — and still must not take over
+        assert (128, 1, "tanimoto", 0) in db._search_fns
+        for _ in range(10):
+            for k, qi in zip(ks, q_rows):
+                r = db.search(words[qi], k=k, dbkey="churn")
+                assert (r.scores, r.ids, r.approximate_count) == baseline[k]
+
     def test_no_larger_bucket_compiles_inline(self, rng):
         data = random_fingerprint_data(rng, count=2048, dbkey="promo2")
         db = FingerprintDB(data)

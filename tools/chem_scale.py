@@ -168,23 +168,28 @@ def main():
             ok += 1
         if any(f"MOL{qi:08d}" == i for j in r.ids for i in j.split(";:;")):
             exact_id += 1
-    print(
-        json.dumps(
-            {
-                "metric": "createdb_mols_per_sec",
-                "value": round(args.rows / build_s, 1) if build_s else None,
-                "unit": "mol/s",
-                "rows": args.rows,
-                "build_s": round(build_s, 1),
-                "peak_rss_mib": round(peak / 1024, 1),
-                "library_mib": round(
-                    sum(p.stat().st_size for p in lib.rglob("*")) / 2**20, 1
-                ),
-                "self_match": f"{ok}/{args.sample}",
-                "exact_id_in_top5": f"{exact_id}/{args.sample}",
-            }
+    record = {
+        "metric": "createdb_mols_per_sec",
+        "unit": "mol/s",
+        "rows": args.rows,
+        "library_mib": round(
+            sum(p.stat().st_size for p in lib.rglob("*")) / 2**20, 1
+        ),
+        "self_match": f"{ok}/{args.sample}",
+        "exact_id_in_top5": f"{exact_id}/{args.sample}",
+    }
+    if build_s:
+        record.update(
+            value=round(args.rows / build_s, 1),
+            build_s=round(build_s, 1),
+            peak_rss_mib=round(peak / 1024, 1),
         )
-    )
+    else:
+        # --reuse skipped the build: no value/build_s/peak_rss_mib at all —
+        # a null "measurement" read as a measured build downstream (r4
+        # advisor); the record is verification-only
+        record.update(value=None, reused=True)
+    print(json.dumps(record))
     assert ok == args.sample, "self-match verification failed"
     if not args.keep:
         os.remove(corpus)

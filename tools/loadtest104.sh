@@ -13,7 +13,9 @@ set -e
 cd /root/repo
 ROWS=${LOADTEST_ROWS:-104000000}
 D=${LOADTEST_DIR:-/tmp/tpusim_load104}
-PORT=${LOADTEST_PORT:-8263}
+# default: a FRESH kernel-assigned free port — a fixed default re-hit the
+# tunnel keeper's squatted-port EADDRINUSE on every second run (r4 advisor)
+PORT=${LOADTEST_PORT:-$(python -c 'import socket; s=socket.socket(); s.bind(("",0)); print(s.getsockname()[1]); s.close()')}
 mkdir -p "$D"
 # synthetic .tfsim at Morgan-like sparsity; reused across runs if present
 PYTHONPATH=/root/repo:$PYTHONPATH python tools/fold_scale.py \

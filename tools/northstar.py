@@ -124,6 +124,12 @@ def main():
                     help="reuse an existing library directory")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_oracle", action="store_true")
+    ap.add_argument(
+        "--oracle_only", action="store_true",
+        help="compute + cache the full-width oracle, then exit — run this "
+        "as its own process so the oracle's jax client releases the chip "
+        "before the server boots (the flagship store is 97%% of HBM)",
+    )
     ap.add_argument("--port", type=int, default=0)
     args = ap.parse_args()
 
@@ -181,6 +187,10 @@ def main():
             print(
                 f"oracle computed in {oracle['oracle_s']}s", file=sys.stderr
             )
+    if args.oracle_only:
+        print(json.dumps({"oracle_path": str(oracle_path),
+                          "oracle_s": oracle.get("oracle_s")}))
+        return
 
     # ---- serve through the real stack
     server_cmd = [
