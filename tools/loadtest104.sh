@@ -54,8 +54,12 @@ DB = json.loads(urllib.request.urlopen(
     f"http://localhost:{PORT}/healthz", timeout=60).read())["databases"][0]
 
 def query(i, timeout=1800):
+    # dbkeys must match the library's key ('scale', set by fold_scale.py's
+    # generator) — the registry answers a mismatched key with zero results,
+    # same contract as the reference server.
     body = urllib.parse.urlencode({"fp_hex": qs[i % 64].tobytes().hex(),
-        "return_count": 10, "similarity_cutoff": 0, "dbnames": DB}).encode()
+        "return_count": 10, "similarity_cutoff": 0, "dbnames": DB,
+        "dbkeys": "scale"}).encode()
     t0 = time.monotonic()
     with urllib.request.urlopen(urllib.request.Request(
             f"http://localhost:{PORT}/similarity_search_json", data=body),
