@@ -118,7 +118,8 @@ def _batched_kernel(
         [scratch_ref[slot, pi] for pi in range(p)]
     )
 
-    qpop = qpop_ref[qb].astype(jnp.float32)
+    qpop_i = qpop_ref[qb]
+    qpop = qpop_i.astype(jnp.float32)
     cutoff = cutoff_ref[qb]
     alpha = ab_ref[0]
     beta = ab_ref[1]
@@ -131,61 +132,122 @@ def _batched_kernel(
     # hoisted validity limit: lane-bit b is a real column iff b < vlim
     vlim = n_valid - col_base
 
-    def score_one(cf, bb, bmax, count):
-        pop = pops3_ref[bb, :, :].astype(jnp.float32)
-        if similarity == TANIMOTO:
-            # denom is a non-negative integer and is 0 only when cf is 0
-            # (common <= min(qpop, pop)), so max(denom, 1) never changes a
-            # real score and avoids 0/0 for empty (padded) queries
-            denom = qpop + pop - cf
-            s = cf / jnp.maximum(denom, 1.0)
-        else:
-            denom = alpha * (qpop - cf) + beta * (pop - cf) + cf
-            s = jnp.where(denom > 0, cf / jnp.maximum(denom, 1e-30), 0.0)
-        # TPU reciprocal-multiply division can give c/c = 0.99999994; a
-        # self-match must score exactly 1.0 or cutoff=1.0 counts diverge
-        # from the pinned paths (scan.similarity_from_counts,
-        # pallas_scan) — same pin as scan.py:89-93
-        s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
-        s = jnp.where(bb < vlim, s, NEG_INF)
-        return jnp.maximum(bmax, s), count + (s >= cutoff).astype(jnp.int32)
+    # Packed-field reconstruction of lane-bit columns. A counter bit at
+    # position j must move to field-local weight j for every lane-bit
+    # column packed in the same uint32: columns {b, b+F, b+2F, ...} all
+    # move by the same distance (b-j), so ONE shift plus one combined mask
+    # per counter rebuilds all 32/F columns' counts at once as F-bit
+    # fields. F=16 (counts <= 1024 < 2**16 — PLANE_BUCKETS caps the addend
+    # count) near-halves the per-bit loop; F=8 (legal whenever the plane
+    # bucket p <= 255, i.e. every count fits a byte and the counter list
+    # has <= 8 entries) halves it again for the hot Morgan buckets 16-128.
+    field = 8 if (p <= 255 and len(counters) <= 8) else 16
+    offs = tuple(range(0, 32, field))
+    fmask = jnp.uint32((1 << field) - 1)
 
-    bmax = jnp.full((8, mc8), NEG_INF, dtype=jnp.float32)
-    count = jnp.zeros((8, mc8), dtype=jnp.int32)
-    for b in range(16):
-        # Paired reconstruction of lane-bit columns b and b+16: a single
-        # right shift by (b-j) moves counter bit b to weight position j AND
-        # counter bit b+16 to position j+16, so one shift + one combined
-        # mask per counter rebuilds BOTH columns' counts packed as 16-bit
-        # halves of one uint32 (counts <= 1024 < 2**16 — PLANE_BUCKETS
-        # caps the addend count). Near-halves the reconstruction ops vs
-        # the per-bit loop this replaces.
-        merged = jnp.zeros((8, mc8), dtype=jnp.uint32)
-        for j, cj in enumerate(counters):
-            # one shift serves BOTH halves: bit b -> j and bit b+16 -> j+16
-            # move by the same distance (b-j), whichever its sign
-            m = jnp.uint32((1 << j) | (1 << (j + 16)))
-            if b >= j:
-                merged = merged | ((cj >> jnp.uint32(b - j)) & m)
-            else:
-                merged = merged | ((cj << jnp.uint32(j - b)) & m)
-        # Mosaic has no uint32->f32 cast; the int32 hop is a free bitcast
-        # (both 16-bit halves are < 2**len(counters))
-        cf_lo = (merged & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        cf_hi = (merged >> jnp.uint32(16)).astype(jnp.int32)
-        bmax, count = score_one(cf_lo.astype(jnp.float32), b, bmax, count)
-        bmax, count = score_one(
-            cf_hi.astype(jnp.float32), b + 16, bmax, count
+    def columns():
+        """Yields (cf int32 (8, mc8), lane-bit index) for all 32 columns."""
+        for b in range(field):
+            merged = jnp.zeros((8, mc8), dtype=jnp.uint32)
+            for j, cj in enumerate(counters):
+                m = jnp.uint32(sum(1 << (j + o) for o in offs))
+                if b >= j:
+                    merged = merged | ((cj >> jnp.uint32(b - j)) & m)
+                else:
+                    merged = merged | ((cj << jnp.uint32(j - b)) & m)
+            for o in offs:
+                # Mosaic has no uint32->f32 cast; the int32 hop is a free
+                # bitcast (every field is < 2**len(counters)); the top
+                # field needs no mask
+                fv = merged >> jnp.uint32(o) if o else merged
+                if o != 32 - field:
+                    fv = fv & fmask
+                yield fv.astype(jnp.int32), b + o
+
+    def write_cnt(cnt_total):
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 0) == qb
+        ) & (
+            jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 1)
+            == (ci % 128)
         )
+        cnt_ref[:, :] += jnp.where(hit, cnt_total, 0)
 
-    colmax_ref[0, :, :] = bmax
-    cnt_total = jnp.sum(count, keepdims=False)
-    hit = (
-        jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 0) == qb
-    ) & (
-        jax.lax.broadcasted_iota(jnp.int32, (b_total, 128), 1) == (ci % 128)
-    )
-    cnt_ref[:, :] += jnp.where(hit, cnt_total, 0)
+    def score_div():
+        """Per-column division scoring (any cutoff, any similarity).
+
+        The cutoff count must test ``fl(cf/denom) >= cutoff`` — the exact
+        value the engine's pinned paths (scan.similarity_from_counts,
+        pallas_scan) and the reference's golden cutoff tables see — so a
+        positive cutoff forces the division per column."""
+
+        def score_one(cf, bb, bmax, count):
+            pop = pops3_ref[bb, :, :].astype(jnp.float32)
+            if similarity == TANIMOTO:
+                # denom is a non-negative integer and is 0 only when cf is
+                # 0 (common <= min(qpop, pop)), so max(denom, 1) never
+                # changes a real score and avoids 0/0 for padded queries
+                denom = qpop + pop - cf
+                s = cf / jnp.maximum(denom, 1.0)
+            else:
+                denom = alpha * (qpop - cf) + beta * (pop - cf) + cf
+                s = jnp.where(denom > 0, cf / jnp.maximum(denom, 1e-30), 0.0)
+            # TPU reciprocal-multiply division can give c/c = 0.99999994; a
+            # self-match must score exactly 1.0 or cutoff=1.0 counts
+            # diverge from the pinned paths — same pin as scan.py:89-93
+            s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
+            s = jnp.where(bb < vlim, s, NEG_INF)
+            return jnp.maximum(bmax, s), count + (s >= cutoff).astype(
+                jnp.int32
+            )
+
+        bmax = jnp.full((8, mc8), NEG_INF, dtype=jnp.float32)
+        count = jnp.zeros((8, mc8), dtype=jnp.int32)
+        for cf, bb in columns():
+            bmax, count = score_one(cf.astype(jnp.float32), bb, bmax, count)
+        colmax_ref[0, :, :] = bmax
+        write_cnt(jnp.sum(count, keepdims=False))
+
+    def score_rational():
+        """Integer cross-multiplied running max — no per-column division.
+
+        Tanimoto scores are rationals cf/denom with cf <= 1024 and
+        denom <= 2048, so ``cf_new * den_max > num_max * den_new`` compares
+        them exactly in int32 (products < 2**21). ONE division per chunk at
+        the end replaces 32: correctly-rounded division is monotone, so
+        ``fl(max_i cf_i/den_i) == max_i fl(cf_i/den_i)`` and the emitted
+        colmax is bit-identical to the per-column path, including the
+        self-match 1.0 pin (applied to the winning column's cf == denom).
+        Only legal when every valid score clears the cutoff (cutoff <= 0:
+        scores are >= 0), because then the count is just the number of
+        valid columns — ``sum(clamp(vlim, 0, 32))`` — and never needs a
+        rounded score."""
+        nmax = jnp.full((8, mc8), -1, dtype=jnp.int32)
+        dmax = jnp.ones((8, mc8), dtype=jnp.int32)
+        for cf, bb in columns():
+            pop = pops3_ref[bb, :, :].astype(jnp.int32)
+            den = qpop_i + pop - cf
+            # den == 0 only when cf == 0 (score 0 either way); clamping
+            # keeps a selected zero denominator from sticking as the
+            # incumbent (0 > nmax*0 never fires again)
+            den = jnp.maximum(den, 1)
+            cfv = jnp.where(bb < vlim, cf, -1)
+            upd = cfv * dmax > nmax * den
+            nmax = jnp.where(upd, cfv, nmax)
+            dmax = jnp.where(upd, den, dmax)
+        s = nmax.astype(jnp.float32) / dmax.astype(jnp.float32)
+        s = jnp.where(nmax == dmax, 1.0, s)  # dmax >= 1 always
+        s = jnp.where(nmax < 0, NEG_INF, s)  # no valid column in the word
+        colmax_ref[0, :, :] = s
+        write_cnt(jnp.sum(jnp.clip(vlim, 0, 32), keepdims=False))
+
+    if similarity == TANIMOTO:
+        # both branches live in the compiled program; the SMEM scalar picks
+        # one at run time per (chunk, query) step
+        pl.when(cutoff > 0.0)(score_div)
+        pl.when(cutoff <= 0.0)(score_rational)
+    else:
+        score_div()
 
 
 @functools.partial(

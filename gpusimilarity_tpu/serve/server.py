@@ -366,7 +366,15 @@ class SimilarityServer:
         self.service = SearchService(
             registry, max_batch, window_ms, search_timeout_s=search_timeout_s
         )
-        self.httpd = ThreadingHTTPServer(
+
+        # http.server's default listen backlog is 5: a burst of 32
+        # concurrent clients (the load test, or any fan-in proxy) overflows
+        # the accept queue and the kernel RESETs the overflow connections.
+        # Size the backlog to the batching window's natural fan-in instead.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server(
             (hostname, port), make_handler(self.service, debug_ui)
         )
         self.port = self.httpd.server_address[1]

@@ -161,9 +161,15 @@ class TestTopK:
         scores = rng.random(100_000).astype(np.float32)
         vals, idx = ops.exact_topk(jnp.asarray(scores), 128, segment=4096)
         order = np.argsort(-scores)[:128]
-        np.testing.assert_allclose(np.asarray(vals), scores[order])
-        # values unique with overwhelming probability -> indices comparable
-        np.testing.assert_array_equal(np.asarray(idx), order)
+        vals_np, idx_np = np.asarray(vals), np.asarray(idx)
+        np.testing.assert_allclose(vals_np, scores[order])
+        # 100k float32 draws collide ~4-5 times per run (birthday at 2^30
+        # near-1 values), and np.argsort's default sort is UNSTABLE, so
+        # index-sequence equality is not a valid oracle at ties: assert the
+        # tie-robust contract instead — every index names a row with
+        # exactly the returned score and no index repeats
+        np.testing.assert_array_equal(scores[idx_np], vals_np)
+        assert len(set(idx_np.tolist())) == len(idx_np)
 
     def test_exact_topk_unpadded_boundary(self, rng):
         scores = rng.random(100_001).astype(np.float32)  # not segment-aligned

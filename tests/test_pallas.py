@@ -198,6 +198,49 @@ class TestPallasPhase1:
         # empty query: all scores exactly 0
         assert float(np.asarray(bmax[2]).max()) == 0.0
 
+    def test_rational_branch_bit_identical(self, rng):
+        """cutoff <= 0 takes the integer cross-multiplied max branch; its
+        colmax must be BIT-identical to the per-column-division branch
+        (forced with an epsilon cutoff — counts differ only in that every
+        valid column counts at cutoff 0), and counts at cutoff 0 must equal
+        the valid-column total the branch computes from vlim alone."""
+        from gpusimilarity_tpu.ops.bitplane import query_plane_indices
+        from gpusimilarity_tpu.ops.pallas_bitplane import (
+            build_pops3, pallas_bitplane_phase1_batched,
+        )
+        from gpusimilarity_tpu.ops.bitplane import build_bitplanes_np
+
+        m8s, n_pad, n_valid = 256, 65536, 60000
+        words = np.zeros((n_pad, 32), np.uint32)
+        words[:n_valid] = make_db(rng, n_valid, density=0.06)
+        planes = build_bitplanes_np(
+            np.ascontiguousarray(words).view(np.uint8), n_pad
+        )
+        planes = np.concatenate(
+            [planes, np.zeros((1, planes.shape[1]), np.uint32)]
+        )
+        arranged = planes.reshape(1025, 8, m8s).reshape(1025 * 8, m8s)
+        pops = popcount_rows_np(words).astype(np.int32)
+        pops3 = np.asarray(build_pops3(pops, 1))
+        queries = words[[3, 11]]
+        plane_idx, _bucket = query_plane_indices(queries, 1024)
+        qpops = popcount_rows_np(queries).astype(np.int32)
+        ab = jnp.asarray(np.ones(2, np.float32))
+
+        def run(cut):
+            return pallas_bitplane_phase1_batched(
+                jnp.asarray(arranged), jnp.asarray(pops3),
+                jnp.asarray(plane_idx), jnp.asarray(qpops),
+                jnp.asarray(np.full(2, cut, np.float32)), ab, jnp.int32(0),
+                mc8=128, bw8=8, n_valid=n_valid, interpret=True,
+            )
+
+        bm0, cnt0, cm0 = run(0.0)  # rational branch
+        bm1, _cnt1, cm1 = run(1e-30)  # division branch (cutoff > 0)
+        np.testing.assert_array_equal(np.asarray(cm0), np.asarray(cm1))
+        np.testing.assert_array_equal(np.asarray(bm0), np.asarray(bm1))
+        np.testing.assert_array_equal(np.asarray(cnt0), [n_valid, n_valid])
+
     def test_tversky_mode(self, rng):
         n = 1024
         words = make_db(rng, n)

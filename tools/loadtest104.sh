@@ -61,10 +61,19 @@ def query(i, timeout=1800):
         "return_count": 10, "similarity_cutoff": 0, "dbnames": DB,
         "dbkeys": "scale"}).encode()
     t0 = time.monotonic()
-    with urllib.request.urlopen(urllib.request.Request(
-            f"http://localhost:{PORT}/similarity_search_json", data=body),
-            timeout=timeout) as r:
-        p = json.loads(r.read())
+    # retry transient connection drops; latency keeps counting from the
+    # first attempt, so any retry shows up honestly in the percentiles
+    for attempt in range(4):
+        try:
+            with urllib.request.urlopen(urllib.request.Request(
+                    f"http://localhost:{PORT}/similarity_search_json",
+                    data=body), timeout=timeout) as r:
+                p = json.loads(r.read())
+            break
+        except (ConnectionResetError, ConnectionRefusedError):
+            if attempt == 3:
+                raise
+            time.sleep(0.05 * (attempt + 1))
     # self-match: queries ARE library rows (duplicate folded rows can tie,
     # but the exact id must appear in rank-0's deduped join)
     assert f"SYN{i % 64:010d}" in p["results"][0][0], p["results"][0]
