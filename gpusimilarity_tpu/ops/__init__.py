@@ -2,6 +2,7 @@ from .scan import (  # noqa: F401
     TANIMOTO,
     TVERSKY,
     common_bits,
+    exact_div,
     popcount_rows_np,
     score_batch,
     scores_np,

@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bitplane import wallace_popcount_planes
-from .scan import TANIMOTO
+from .scan import TANIMOTO, exact_div
 
 NEG_INF = float("-inf")
 
@@ -186,15 +186,18 @@ def _batched_kernel(
             if similarity == TANIMOTO:
                 # denom is a non-negative integer and is 0 only when cf is
                 # 0 (common <= min(qpop, pop)), so max(denom, 1) never
-                # changes a real score and avoids 0/0 for padded queries
+                # changes a real score and avoids 0/0 for padded queries.
+                # exact_div: the native divide misrounds ~34% of these
+                # integer quotients 1 ulp low, flipping the cutoff count at
+                # boundary fractions (see scan.exact_div).
                 denom = qpop + pop - cf
-                s = cf / jnp.maximum(denom, 1.0)
+                s = exact_div(cf, jnp.maximum(denom, 1.0))
             else:
                 denom = alpha * (qpop - cf) + beta * (pop - cf) + cf
                 s = jnp.where(denom > 0, cf / jnp.maximum(denom, 1e-30), 0.0)
-            # TPU reciprocal-multiply division can give c/c = 0.99999994; a
-            # self-match must score exactly 1.0 or cutoff=1.0 counts
-            # diverge from the pinned paths — same pin as scan.py:89-93
+            # a self-match must score exactly 1.0 or cutoff=1.0 counts
+            # diverge from the pinned paths — same pin as scan.py (exact_div
+            # already guarantees it for Tanimoto; load-bearing for Tversky)
             s = jnp.where((cf == denom) & (denom > 0), 1.0, s)
             s = jnp.where(bb < vlim, s, NEG_INF)
             return jnp.maximum(bmax, s), count + (s >= cutoff).astype(
@@ -214,7 +217,8 @@ def _batched_kernel(
         Tanimoto scores are rationals cf/denom with cf <= 1024 and
         denom <= 2048, so ``cf_new * den_max > num_max * den_new`` compares
         them exactly in int32 (products < 2**21). ONE division per chunk at
-        the end replaces 32: correctly-rounded division is monotone, so
+        the end replaces 32, and it is a correctly-rounded exact_div:
+        correct rounding is monotone, so
         ``fl(max_i cf_i/den_i) == max_i fl(cf_i/den_i)`` and the emitted
         colmax is bit-identical to the per-column path, including the
         self-match 1.0 pin (applied to the winning column's cf == denom).
@@ -235,7 +239,7 @@ def _batched_kernel(
             upd = cfv * dmax > nmax * den
             nmax = jnp.where(upd, cfv, nmax)
             dmax = jnp.where(upd, den, dmax)
-        s = nmax.astype(jnp.float32) / dmax.astype(jnp.float32)
+        s = exact_div(nmax.astype(jnp.float32), dmax.astype(jnp.float32))
         s = jnp.where(nmax == dmax, 1.0, s)  # dmax >= 1 always
         s = jnp.where(nmax < 0, NEG_INF, s)  # no valid column in the word
         colmax_ref[0, :, :] = s

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan import TANIMOTO
+from .scan import TANIMOTO, exact_div
 
 NEG_INF = float("-inf")
 
@@ -96,7 +96,9 @@ def _kernel(
     pops = pops_ref[0, :].astype(jnp.float32)[None, :]  # (1, mc)
     if similarity == TANIMOTO:
         denom = qpop + pops - common
-        s = common / jnp.maximum(denom, 1.0)
+        # exact_div: the native divide misrounds ~34% of these integer
+        # quotients 1 ulp low vs the numpy oracle (see scan.exact_div)
+        s = exact_div(common, jnp.maximum(denom, 1.0))
     else:
         alpha = ab_ref[0]
         beta = ab_ref[1]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan import TANIMOTO, TVERSKY
+from .scan import TANIMOTO, TVERSKY, exact_div
 
 NEG_INF = float("-inf")  # plain float: a jnp scalar would be captured as a
 # constant inside the pallas kernel, which pallas_call rejects
@@ -82,11 +82,18 @@ def _phase1_kernel(
     qpops = qpops_ref[:][:, None].astype(jnp.float32)
     if similarity == TANIMOTO:
         denom = qpops + dpops - cf
+        # exact_div: TPU's native divide misrounds ~34% of these integer
+        # quotients by 1 ulp, flipping cutoff counts and returned scores vs
+        # the numpy/reference oracle (see scan.exact_div). denom == 0 only
+        # when cf == 0, so max(denom, 1) never changes a real score.
+        scores = jnp.where(
+            denom > 0, exact_div(cf, jnp.maximum(denom, 1.0)), 0.0
+        )
     else:  # TVERSKY
         alpha = params_ref[0]
         beta = params_ref[1]
         denom = alpha * (qpops - cf) + beta * (dpops - cf) + cf
-    scores = jnp.where(denom > 0, cf / denom, 0.0)
+        scores = jnp.where(denom > 0, cf / denom, 0.0)
     scores = jnp.where((cf == denom) & (denom > 0), 1.0, scores)
     scores = jnp.where(valid, scores, NEG_INF)
 

@@ -62,6 +62,49 @@ def common_bits(db_words: jax.Array, query_words: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(inter).astype(jnp.int32), axis=-1)
 
 
+def exact_div(num: jax.Array, den: jax.Array) -> jax.Array:
+    """Correctly-rounded f32 division for small integer-valued operands.
+
+    TPU f32 division is reciprocal-multiply and NOT correctly rounded:
+    measured on v5e, ~34% of quotients of integers <= 2048 come back 1 ulp
+    low, which flips ``score >= cutoff`` at boundary fractions (e.g. 11/55
+    vs 0.2f, 15/50 vs 0.3f) and diverges returned scores from the numpy /
+    reference-CUDA oracle (``fingerprintdb_cuda.cu:96-100`` divides with
+    IEEE-correct hardware). This restores round-to-nearest-even:
+
+      q       = fl(num/den)              faithful hardware quotient
+      qh + ql = q                        Veltkamp split at 12 bits
+      r       = (num - qh*den) - ql*den  EXACT residual num - q*den
+      out     = q + r/den                Markstein correction step
+
+    Exactness argument, for integer-valued ``0 <= num <= 2**12`` and
+    ``1 <= den <= 2**12`` (bitcount <= 2048 => num <= 2048, den <= 4096):
+
+    * ``qh`` has <= 12 significand bits and ``den`` <= 12, so ``qh*den`` is
+      exact (<= 24-bit product); likewise ``ql*den`` (``ql`` <= 12 bits).
+    * ``num - qh*den`` is exact by Sterbenz (``qh*den`` is within a factor
+      of 2 of ``num`` whenever ``q`` is within a few ulp of ``num/den``).
+    * the outer subtraction's true value ``r = num - q*den`` is a multiple
+      of ``ulp(q)`` with ``|r| <= 2*den*ulp(q) < 2**13*ulp(q)``, hence
+      representable, hence computed exactly.
+    * ``num/den`` is never an f32 rounding midpoint (a midpoint needs a
+      25-bit odd significand; ``num <= 2**12`` forces any dyadic quotient
+      to <= 12 bits), so a faithful ``q`` plus the sign-exact correction
+      lands on the correctly-rounded quotient.
+
+    Verified exhaustively over every (num <= 2048, 1 <= den <= 4096) pair
+    against numpy on CPU (tests/test_exactdiv.py) and on the real chip
+    (tools/verify_exactdiv.py). Cost: ~7 VPU flops on top of the divide —
+    invisible on the DMA-bound scan paths.
+    """
+    q = num / den
+    t = q * 4097.0  # 2**12 + 1: Veltkamp split constant
+    qh = t - (t - q)
+    ql = q - qh
+    r = (num - qh * den) - ql * den
+    return q + r / den
+
+
 def similarity_from_counts(
     common: jax.Array,
     db_popcounts: jax.Array,
@@ -76,20 +119,32 @@ def similarity_from_counts(
     ``c / (|q| + |db| - c)``. Tversky: ``c / (alpha*(|q|-c) + beta*(|db|-c) + c)``.
     A zero denominator (both fingerprints empty) scores 0 rather than NaN —
     a deliberate divergence from the reference's unchecked division.
+
+    Tanimoto scores are **bit-exact** vs the numpy oracle on every backend:
+    the integer-operand division goes through :func:`exact_div` (TPU's
+    native divide misrounds ~34% of these quotients by 1 ulp). Tversky
+    keeps the native divide — its denominator is non-integer for general
+    alpha/beta, so the exactness argument doesn't apply; CPU/XLA divide
+    correctly and TPU is within 1 ulp there.
     """
     c = common.astype(jnp.float32)
     qp = query_popcounts.astype(jnp.float32)[..., None]
     dp = db_popcounts.astype(jnp.float32)
     if similarity == TANIMOTO:
         denom = qp + dp - c
+        # max(denom, 1) never changes a real score (denom == 0 only when
+        # c == 0) and keeps the unused where-branch NaN-free
+        score = jnp.where(denom > 0, exact_div(c, jnp.maximum(denom, 1.0)), 0.0)
     elif similarity == TVERSKY:
         denom = alpha * (qp - c) + beta * (dp - c) + c
+        score = jnp.where(denom > 0, c / denom, 0.0)
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
     # TPU lowers f32 division to reciprocal-multiply, which can return
     # 0.99999994 for c/c; a self-match must score exactly 1.0 (the reference
     # tests and any cutoff=1.0 query depend on it), so pin the equal case.
-    score = jnp.where(denom > 0, c / denom, 0.0)
+    # (exact_div already guarantees it for Tanimoto; kept for Tversky and
+    # as a documented invariant.)
     return jnp.where((c == denom) & (denom > 0), 1.0, score)
 
 

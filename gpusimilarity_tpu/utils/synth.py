@@ -560,7 +560,7 @@ def virtual_full_topk(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.scan import popcount_rows_np
+    from ..ops.scan import exact_div, popcount_rows_np
 
     q = np.ascontiguousarray(queries_full, dtype=np.uint32)
     if q.ndim == 1:
@@ -587,7 +587,9 @@ def virtual_full_topk(
             )  # (chunk,)
             c = common.astype(jnp.float32)
             denom = qpops[:, None] + dpops[None, :].astype(jnp.float32) - c
-            s = jnp.where(denom > 0, c / denom, 0.0)
+            # correctly-rounded divide so this oracle's scores/counts are
+            # bit-identical to the numpy oracle (see scan.exact_div)
+            s = jnp.where(denom > 0, exact_div(c, jnp.maximum(denom, 1.0)), 0.0)
             s = jnp.where((c == denom) & (denom > 0), 1.0, s)
             gidx = ci * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (1, chunk), 1
