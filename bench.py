@@ -404,7 +404,16 @@ def _run_fold(n_rows, fold):
             extras[f"batch{throughput_batch}_fps_per_chip"] = None
 
     if os.environ.get("TPUSIM_BENCH_FULL_ORACLE", "1") == "1":
-        # interleaved FULL-library exactness pass (small store, same mode)
+        # interleaved FULL-library exactness pass (small store, same mode).
+        # Free the measured store + its compiled programs first (same
+        # reasoning as _run: the oracle pass is independent, and a
+        # TPUSIM_BENCH_ROWS override can leave less slack than its
+        # buffers need).
+        del store, measure
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
         extras.update(
             _full_oracle_extras(jax, "bitplane", fold, use_pallas, k, seed)
         )
@@ -637,7 +646,22 @@ def _run(n_rows):
     if os.environ.get("TPUSIM_BENCH_FULL_ORACLE", "1") == "1":
         # interleaved FULL-library exactness pass (small virtual store,
         # same mode/kernels; the timed library above is random-generated
-        # in HBM and has no host twin to oracle against)
+        # in HBM and has no host twin to oracle against). The measured
+        # library is dead weight from here on: drop it AND the compiled
+        # search executables (which pin its plane buffers as captured
+        # constants) so the oracle pass's ~0.3 GiB of store + programs
+        # fits — the 104M default runs at ~1 GiB of HBM slack and OOMed
+        # exactly here, which then poisoned the whole retry ladder
+        # because the relay frees buffers asynchronously.
+        del store, build_for_batch, measure
+        if mode == "bitplane":
+            del planes, pops16, pops3
+        else:
+            del words, pops
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
         extras.update(
             _full_oracle_extras(jax, mode, 1, use_pallas, k, seed=11)
         )
